@@ -1,0 +1,97 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": seconds, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The flagship number is the extraction stage over the deterministic
+synthetic interleaved corpus (docs/sec also reported in "extra").
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# corpus sized to the sf tier: sf0.1 -> 20k interleaved docs
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(200_000 * _SF))))
+
+
+def _extract_bench(spark) -> tuple[float, int]:
+    """Flagship: synthetic corpus -> full extraction plan -> count."""
+    from xs_vlm_ocr_spark.corpus import gen_docs_df
+    from xs_vlm_ocr_spark.operators.extraction import (
+        extract_spans, split_extraction_output, valid_docs, with_content_hash,
+    )
+    from xs_vlm_ocr_spark.operators.skew import repartition_by_doc_length
+
+    docs = gen_docs_df(spark, N_DOCS).persist()
+    n = docs.count()  # materialize corpus outside the timed window
+    t0 = time.monotonic()
+    jobs = repartition_by_doc_length(with_content_hash(valid_docs(docs)), CPUS * 3)
+    results, _ = split_extraction_output(extract_spans(jobs))
+    n_out = results.count()
+    dt = time.monotonic() - t0
+    docs.unpersist()
+    assert n_out == n, (n_out, n)
+    return dt, n
+
+
+def main() -> None:
+    from xs_vlm_ocr_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qtimes: dict[str, float] = {}
+
+    # warm the JVM/Arrow path once with a small slice
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    extract_sec, n_docs = _extract_bench(spark)
+    qtimes["extract_corpus"] = round(extract_sec, 3)
+
+    queries = entrymod.queries()
+    for name in (
+        "tpch_q1_pricing_summary",
+        "events_hourly_rollup",
+        "history_latest_per_key",
+        "dedup_cache_probe",
+        "knn_topk_cosine",
+        "extract_flagship",
+    ):
+        t0 = time.monotonic()
+        queries[name](spark, SF_DIR).count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": _SF,
+                "extra": {
+                    "extract_docs": n_docs,
+                    "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+                    "cores": CPUS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

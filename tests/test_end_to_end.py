@@ -1,0 +1,110 @@
+"""End-to-end slice (SURVEY §7 step 1): corpus -> flagship plan -> golden
+equality of the Spark extraction vs the pure-Python single-doc oracle,
+lineage rows, and checkpoint/resume semantics."""
+
+import pytest
+
+from xs_vlm_ocr_spark.corpus import doc_id_for, gen_doc, gen_docs_df
+from xs_vlm_ocr_spark.extract import extract_doc, merge_full_text
+from xs_vlm_ocr_spark.job import ExtractionJob
+
+N_DOCS = 120
+
+
+def _spans_key(rows):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans_out"]
+        ]
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return gen_docs_df(spark, N_DOCS).cache()
+
+
+def test_golden_span_equality(spark, docs, tmp_path_factory):
+    """The invariant: Spark output (kind, text, media_ref, order) sequence
+    per doc_id is byte-equal to the single-doc oracle — across Arrow batch
+    and partition boundaries."""
+    job = ExtractionJob(str(tmp_path_factory.mktemp("job_golden")))
+    job.run(spark, docs)
+    results = job.read_results(spark)
+    rows = [r.asDict(recursive=True) for r in results.collect()]
+    assert len(rows) == N_DOCS
+    assert all(r["success"] for r in rows)
+
+    actual = _spans_key(rows)
+    for i in range(N_DOCS):
+        did = doc_id_for(i)
+        expected = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_doc(gen_doc(did)["spans"])
+        ]
+        assert actual[did] == expected, f"span mismatch for {did}"
+
+    # full_text merge invariant (reference OCRResult::mergeFullText)
+    by_id = {r["doc_id"]: r for r in rows}
+    for i in range(0, N_DOCS, 7):
+        did = doc_id_for(i)
+        exp = merge_full_text(extract_doc(gen_doc(did)["spans"]))
+        assert by_id[did]["full_text"] == exp
+
+
+def test_lineage_rows(spark, docs, tmp_path_factory):
+    job = ExtractionJob(str(tmp_path_factory.mktemp("job_lineage")))
+    job.run(spark, docs, target_partitions=6)
+    lin = [r.asDict() for r in job.read_lineage(spark).collect()]
+    assert sum(r["docs_in"] for r in lin) == N_DOCS
+    assert sum(r["docs_out"] for r in lin) == N_DOCS
+    assert all(r["stage"] == "extract" for r in lin)
+    assert all(r["wall_ms"] >= 0 for r in lin)
+    total_spans = sum(r["span_count"] for r in lin)
+    assert total_spans > N_DOCS  # every doc emits >=1 span on this corpus
+
+
+def test_resume_processes_only_missing(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job_resume"))
+    half = gen_docs_df(spark, N_DOCS // 2)
+    full = gen_docs_df(spark, N_DOCS)
+
+    job = ExtractionJob(out)
+    job.run(spark, half)
+    assert job.read_results(spark).count() == N_DOCS // 2
+
+    # rerun over the full corpus: only the missing half is extracted
+    run2 = job.run(spark, full)
+    lin2 = job.read_lineage(spark).filter(f"run_id = '{run2}'")
+    assert lin2.agg({"docs_in": "sum"}).first()[0] == N_DOCS // 2
+
+    # final table equals a fresh single-run extraction
+    fresh = ExtractionJob(str(tmp_path_factory.mktemp("job_fresh")))
+    fresh.run(spark, gen_docs_df(spark, N_DOCS))
+    a = {(r["doc_id"], r["content_hash"], r["full_text"])
+         for r in job.read_results(spark).collect()}
+    b = {(r["doc_id"], r["content_hash"], r["full_text"])
+         for r in fresh.read_results(spark).collect()}
+    assert a == b and len(a) == N_DOCS
+
+
+def test_crash_before_commit_is_invisible(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job_crash"))
+    docs = gen_docs_df(spark, 30)
+    job = ExtractionJob(out)
+    job.run(spark, docs, fail_after_staging=True)
+    assert job.read_results(spark) is None  # nothing committed
+
+    job.run(spark, docs)  # clean rerun completes everything
+    assert job.read_results(spark).count() == 30
+
+
+def test_idempotent_second_run_is_noop(spark, docs, tmp_path_factory):
+    job = ExtractionJob(str(tmp_path_factory.mktemp("job_idem")))
+    job.run(spark, docs)
+    run2 = job.run(spark, docs)
+    lin2 = job.read_lineage(spark).filter(f"run_id = '{run2}'")
+    # empty plan -> zero tasks -> zero (or all-zero) lineage rows
+    assert (lin2.agg({"docs_in": "sum"}).first()[0] or 0) == 0
+    assert job.read_results(spark).count() == N_DOCS

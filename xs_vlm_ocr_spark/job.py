@@ -1,0 +1,83 @@
+"""End-to-end extraction job: the reference's flagship path (SURVEY §3.1)
+restated as one declarative Spark plan.
+
+    read docs -> validity filter (P3) -> content_hash (D1 canonical md5)
+    -> anti-join committed results (cache/resume, D1/J2)
+    -> repartitionByRange on byte-length quantiles (skew, north rule)
+    -> mapInPandas extraction (E-family) with in-band lineage
+    -> single staged write, split into results + lineage appends
+    -> atomic manifest commit (Iceberg-snapshot stand-in)
+
+Resumable: a rerun with the same run-output tables processes only docs
+whose content_hash is absent from the committed snapshot, and the final
+table equals the single-run result (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xs_vlm_ocr_spark.operators.dedup import filter_uncached
+from xs_vlm_ocr_spark.operators.extraction import (
+    DEFAULT_MODEL,
+    extract_spans,
+    split_extraction_output,
+    valid_docs,
+    with_content_hash,
+)
+from xs_vlm_ocr_spark.operators.skew import repartition_by_doc_length
+from xs_vlm_ocr_spark.schemas import LINEAGE_SCHEMA
+from xs_vlm_ocr_spark.table_io import CheckpointedTable
+
+
+class ExtractionJob:
+    def __init__(self, out_dir: str, model_name: str = DEFAULT_MODEL) -> None:
+        self.out_dir = out_dir
+        self.model_name = model_name
+        self.results = CheckpointedTable(os.path.join(out_dir, "results"))
+        self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
+
+    def plan(self, spark: SparkSession, docs: DataFrame,
+             target_partitions: int | None = None) -> DataFrame:
+        """The lazy extraction plan (no write): docs -> combined output."""
+        n_parts = target_partitions or spark.sparkContext.defaultParallelism * 3
+        jobs = with_content_hash(valid_docs(docs), self.model_name)
+        jobs = filter_uncached(jobs, self.results.read(spark))
+        jobs = repartition_by_doc_length(jobs, n_parts)
+        return extract_spans(jobs, self.model_name)
+
+    def run(self, spark: SparkSession, docs: DataFrame,
+            run_id: str | None = None, target_partitions: int | None = None,
+            fail_after_staging: bool = False) -> str:
+        """Execute + commit one run; returns run_id. ``fail_after_staging``
+        simulates a crash between write and commit (resume tests)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        combined = self.plan(spark, docs, target_partitions)
+
+        # Single pass over the extraction: stage the combined output once,
+        # then split results/lineage from the staged parquet (cheap scans).
+        staging = os.path.join(self.out_dir, "staging", run_id)
+        combined.write.mode("overwrite").parquet(staging)
+        if fail_after_staging:
+            return run_id  # crash point: nothing committed, table unchanged
+
+        staged = spark.read.parquet(staging)
+        results, lineage = split_extraction_output(staged)
+        self.results.append(results, run_id)
+        self.lineage.append(
+            lineage.withColumn("run_id", F.lit(run_id))
+            .withColumn("stage", F.lit("extract"))
+            .select([f.name for f in LINEAGE_SCHEMA.fields]),
+            run_id,
+        )
+        return run_id
+
+    def read_results(self, spark: SparkSession) -> DataFrame | None:
+        return self.results.read(spark)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame | None:
+        return self.lineage.read(spark)

@@ -1,0 +1,80 @@
+"""Content-hash memoization / incremental recompute (reference D1/J2).
+
+The reference's single most engine-like idea: hash(job) -> prior
+successful result; on hit skip compute and replay the cached result with
+processing_time_ms=0 (reference src/managers/HistoryManager.cpp:433-508,
+hit paths src/ui/MainWindow.cpp:1643-1660 and 1416-1439).
+
+Spark restatement: a left-anti join of jobs against the committed
+results snapshot on content_hash — this is simultaneously the dedup
+cache AND the resume-from-checkpoint mechanism (north rule). At scale the
+committed-hash side is projected to the single hash column before the
+join (column pruning keeps the shuffle narrow); when the committed set is
+small Spark's AQE/broadcast threshold turns it into a broadcast join
+automatically — we only hint when the caller knows it is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def committed_hashes(results: DataFrame) -> DataFrame:
+    """Distinct content hashes of successful committed results (P4:
+    success-only predicate, reference HistoryManager.cpp:472-482)."""
+    return results.filter(F.col("success")).select("content_hash").distinct()
+
+
+def filter_uncached(jobs: DataFrame, results: DataFrame | None,
+                    broadcast_hashes: bool = False) -> DataFrame:
+    """Jobs that still need compute: anti-join on content_hash."""
+    if results is None:
+        return jobs
+    hashes = committed_hashes(results)
+    if broadcast_hashes:
+        hashes = F.broadcast(hashes)
+    return jobs.join(hashes, "content_hash", "left_anti")
+
+
+def cache_hits(jobs: DataFrame, results: DataFrame | None) -> DataFrame | None:
+    """Replay of memoized results for jobs whose hash is already
+    committed: most-recent successful result wins (reference O4,
+    HistoryManager.cpp:480-483), re-emitted with processing_time_ms=0
+    (reference MainWindow.cpp:1654)."""
+    if results is None:
+        return None
+    from pyspark.sql import Window as W
+
+    latest = (
+        results.filter(F.col("success"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("content_hash").orderBy(
+                    F.desc("processing_time_ms"), F.desc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    probe = jobs.select("content_hash").distinct()
+    return (
+        latest.join(probe, "content_hash", "left_semi")
+        .withColumn("processing_time_ms", F.lit(0).cast("long"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "full_text") -> DataFrame:
+    """Exact text dedup: md5-groupBy keep-first (training-data pipeline
+    primitive). Deterministic winner: lowest doc_id per hash."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(W.partitionBy("_h").orderBy("doc_id")))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )

@@ -1,0 +1,126 @@
+"""The extraction map stage — the engine's core operator family.
+
+Spark restatement of the reference's recognize() adapter family
+(reference src/core/ModelAdapter.h:35, dispatch src/ui/MainWindow.cpp:
+846-882): one Arrow batch in, one batch of span-arrays out, inside a
+single ``mapInPandas`` stage wrapping the pure single-doc functions of
+``xs_vlm_ocr_spark.extract`` (so golden equality holds by construction
+and no state can leak across batch boundaries).
+
+Design points for 100 TB:
+  * everything upstream/downstream of the UDF is JVM-side Catalyst
+    (validity filter, content hash, full-text merge checks, joins);
+  * per-document failure isolation: errors become rows, never thrown
+    (reference C4, src/core/OCRPipeline.cpp:84-108);
+  * per-partition lineage rows (partition_id, docs_in, docs_out,
+    span_count, wall_ms) are emitted in-band as trailing marker rows and
+    split off after the single write — no second pass over the data, no
+    driver-side accumulation (north-rule metrics table);
+  * per-doc processing_time_ms instrumentation (reference
+    src/core/OCRResult.h:26); cache hits carry 0 (MainWindow.cpp:1654).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xs_vlm_ocr_spark.extract.pipeline import extract_doc, merge_full_text
+from xs_vlm_ocr_spark.schemas import EXTRACTION_OUTPUT_DDL
+
+DEFAULT_MODEL = "main_content_v1"
+
+# Unit separator keeps the hash preimage unambiguous.
+_HASH_SEP = "\x1f"
+
+
+def valid_docs(docs: DataFrame) -> DataFrame:
+    """Validity predicate P3 (reference src/ui/MainWindow.cpp:1364-1368):
+    non-null doc with at least one span. Invalid rows are routed to an
+    error output by the caller, never dropped silently."""
+    return docs.filter(
+        F.col("doc_id").isNotNull() & F.col("spans").isNotNull() & (F.size("spans") > 0)
+    )
+
+
+def invalid_docs(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        F.col("doc_id").isNull() | F.col("spans").isNull() | (F.size("spans") <= 0)
+    )
+
+
+def with_content_hash(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame:
+    """Deterministic md5 over canonicalized (doc, strategy) — JVM-side,
+    codegen'd. Reference: HistoryManager::computeContentHash
+    (src/managers/HistoryManager.cpp:433-464)."""
+    return docs.withColumn(
+        "content_hash",
+        F.md5(
+            F.concat_ws(
+                _HASH_SEP, F.col("doc_id"), F.lit(model_name), F.to_json(F.col("spans"))
+            )
+        ),
+    )
+
+
+def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame:
+    """docs(doc_id, spans[, content_hash]) -> EXTRACTION_OUTPUT rows.
+
+    Output carries one row per doc plus one trailing lineage marker row
+    per partition (doc_id NULL); split with ``split_extraction_output``.
+    """
+    if "content_hash" not in docs.columns:
+        docs = with_content_hash(docs, model_name)
+    src = docs.select("doc_id", "spans", "content_hash")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        t_start = time.monotonic()
+        docs_in = docs_out = span_count = 0
+        for pdf in batches:
+            rows = []
+            for doc_id, spans, chash in zip(pdf["doc_id"], pdf["spans"], pdf["content_hash"]):
+                docs_in += 1
+                t0 = time.monotonic_ns()
+                try:
+                    out = extract_doc(spans)
+                    full = merge_full_text(out)
+                    elapsed = (time.monotonic_ns() - t0) // 1_000_000
+                    docs_out += 1
+                    span_count += len(out)
+                    rows.append((doc_id, True, "", out, full, model_name, chash, elapsed, None))
+                except Exception as exc:  # failure isolation: error rows, never raise
+                    elapsed = (time.monotonic_ns() - t0) // 1_000_000
+                    rows.append(
+                        (doc_id, False, f"{type(exc).__name__}: {exc}"[:500], [], "",
+                         model_name, chash, elapsed, None)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "success", "error_message", "spans_out", "full_text",
+                             "model_name", "content_hash", "processing_time_ms", "lineage"],
+                )
+        wall_ms = int((time.monotonic() - t_start) * 1000)
+        lineage = {"partition_id": pid, "docs_in": docs_in, "docs_out": docs_out,
+                   "span_count": span_count, "wall_ms": wall_ms}
+        yield pd.DataFrame(
+            [(None, None, None, None, None, None, None, None, lineage)],
+            columns=["doc_id", "success", "error_message", "spans_out", "full_text",
+                     "model_name", "content_hash", "processing_time_ms", "lineage"],
+        )
+
+    return src.mapInPandas(run, schema=EXTRACTION_OUTPUT_DDL)
+
+
+def split_extraction_output(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(results, lineage) from the combined extraction output."""
+    results = combined.filter(F.col("doc_id").isNotNull()).drop("lineage")
+    lineage = combined.filter(F.col("doc_id").isNull()).select("lineage.*")
+    return results, lineage

@@ -1,0 +1,85 @@
+"""Text analysis for training-data pipelines — all JVM-side built-ins.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting, and a content fingerprint. Each is a
+column expression factory (composable, codegen'd, no Python), exercised
+over the driver's `documents` table and oracle-checked where the SQL is
+portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword markers for the n-gram heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+_WORD_BOUNDARY = r"(^|\s){w}(\s|$)"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (split is codegen'd)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: word pieces + digit runs + punctuation marks each
+    count as a token (regex segmentation, still JVM-side)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1))
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of marker-word occurrences (word-boundary regex count)."""
+    t = F.lower(text)
+    total = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        total = total + F.regexp_count(t, F.lit(_WORD_BOUNDARY.format(w=w)))
+    return total
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over per-language stopword-hit counts; 'und' (undetermined)
+    when no marker hits. Deterministic tie-break: lexicographic lang."""
+    scores = [(lang, stopword_hits(text, lang)) for lang in sorted(LANG_MARKERS)]
+    best_score = None
+    best_lang = F.lit("und")
+    # fold: keep the first (lexicographically smallest) argmax
+    for lang, score in scores:
+        if best_score is None:
+            best_score, best_lang = score, F.when(score > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            better = score > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.octet_length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + moderate punctuation +
+    mean-word-length band. Pure arithmetic over codegen'd primitives."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    mean_word = n_chars / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 100_000), 1.0).otherwise(0.0)
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + word_ok + punct_ok) / F.lit(3.0)
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit content fingerprint of normalized text (xxhash64 of the
+    whitespace-canonical form) — the cheap exact-dup key."""
+    return F.xxhash64(F.regexp_replace(F.trim(text), r"\s+", " "))
