@@ -272,6 +272,110 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64, k=10, n_planes=4)
 
 
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, text_col="text", n=3, threshold=0.5)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.text_dedup import embedding_near_dup_pairs
+
+    emb = _doc_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _q_lang_id(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.text_analysis import lang_id
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.text_analysis import bpe_ish_token_count
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
+def _q_fingerprint_dedup(spark, sf_dir):
+    """xxhash64 fingerprint groups — rows-only (no xxhash64 in DuckDB);
+    value-level determinism is covered by tests."""
+    from xs_vlm_ocr_spark.operators.text_analysis import fingerprint64
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint64(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.text_dedup import minhash_lsh_pairs
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_perm=64, bands=16).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def _q_simhash_near(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.text_dedup import simhash_near_pairs
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3, bands=4)
+
+
+def _q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing with a sha256-derived deterministic
+    fake decoder — oracle-checkable because DuckDB has sha256 too."""
+    from xs_vlm_ocr_spark.operators.multimodal import decode_media_batch
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return decode_media_batch(media, fake=True).select(
+        "media_ref", "width", "height", "mode"
+    )
+
+
+def _q_strategy_inheritance(spark, sf_dir):
+    """J1 provider->model param inheritance on a fixed config dim."""
+    from xs_vlm_ocr_spark import strategies as S
+
+    config = {
+        "providers": [
+            {"id": "p1", "name": "ProvOne", "api_host": "https://p1", "api_key": "K1"},
+            {"id": "p2", "name": "ProvTwo", "api_host": "https://p2", "api_key": ""},
+        ],
+        "models": [
+            {"id": "m1", "display_name": "M1", "type": "online", "engine": "e1",
+             "provider": "p1", "params": {"api_key": "OWN"}, "enabled": True},
+            {"id": "m2", "display_name": "M2", "type": "online", "engine": "e2",
+             "provider": "p1", "params": {}, "enabled": False},
+            {"id": "m3", "display_name": "M3", "type": "online", "engine": "e3",
+             "provider": "p2", "params": {}, "enabled": True},
+        ],
+    }
+    models = S.strategies_df(spark, config)
+    provs = S.providers_df(spark, config)
+    out = S.inherit_provider_params(models, provs)
+    return out.select(
+        "id",
+        F.element_at("params", "api_host").alias("api_host"),
+        F.element_at("params", "api_key").alias("api_key"),
+        "enabled",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_filtered_count": _q_history_filtered_count,
@@ -293,6 +397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_cosine": _q_knn_topk_cosine,
         "extract_flagship": _q_extract_flagship,
         "knn_lsh": _q_knn_lsh,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lang_id": _q_lang_id,
+        "bpe_token_count": _q_bpe_token_count,
+        "fingerprint_dedup": _q_fingerprint_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_near_pairs": _q_simhash_near,
+        "media_decode": _q_media_decode,
+        "strategy_inheritance": _q_strategy_inheritance,
     }
 
 
@@ -409,6 +522,92 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY dot/(nq*nn) DESC, nid) AS knn_rank
             FROM pairs QUALIFY knn_rank <= 10
         """,
-        # extract_flagship, knn_lsh: intentionally no oracle (non-SQL ops;
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            sizes AS (SELECT doc_id, count(*) n_sh FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id a, b.doc_id b, count(*) inter
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT a, b, inter, sa.n_sh AS na, sb.n_sh AS nb
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+              SELECT x.vec_id a, y.vec_id b,
+                list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+                sqrt(list_sum(list_transform(x.embedding,
+                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nx,
+                sqrt(list_sum(list_transform(y.embedding,
+                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS ny
+              FROM v x JOIN v y ON x.vec_id < y.vec_id
+            )
+            SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.4
+        """,
+        "lang_id": """
+            WITH hits AS (
+                SELECT doc_id,
+                       (len(regexp_extract_all(lower(text), '(^|\s)der(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)die(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)und(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)das(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)ist(\s|$)'))) AS h_de,
+                       (len(regexp_extract_all(lower(text), '(^|\s)the(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)and(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)of(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)to(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)is(\s|$)'))) AS h_en,
+                       (len(regexp_extract_all(lower(text), '(^|\s)el(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)la(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)los(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)que(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)es(\s|$)'))) AS h_es,
+                       (len(regexp_extract_all(lower(text), '(^|\s)le(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)la(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)les(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)des(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)est(\s|$)'))) AS h_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM hits
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))
+                     AS n_bpe
+            FROM documents
+        """,
+        "media_decode": """
+            SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) * 8
+                     AS width,
+                   64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) * 8
+                     AS height,
+                   CASE WHEN CAST(('0x' || substr(sha256(text), 5, 2)) AS INT)
+                             % 2 = 0
+                        THEN 'RGB' ELSE 'RGBA' END AS mode
+            FROM documents
+        """,
+        "strategy_inheritance": """
+            WITH providers(id, api_host, api_key) AS (
+              VALUES ('p1', 'https://p1', 'K1'), ('p2', 'https://p2', '')
+            ),
+            models(id, provider, own_key, enabled) AS (
+              VALUES ('m1', 'p1', 'OWN', true), ('m2', 'p1', NULL, false),
+                     ('m3', 'p2', NULL, true)
+            )
+            SELECT m.id,
+                   coalesce(nullif(p.api_host, ''), '') AS api_host,
+                   coalesce(m.own_key, nullif(p.api_key, ''), '') AS api_key,
+                   m.enabled
+            FROM models m LEFT JOIN providers p ON m.provider = p.id
+        """,
+        # extract_flagship, knn_lsh, fingerprint_dedup, minhash/simhash
+        # pairs: intentionally no oracle (non-SQL ops;
         # gated by pytest golden fixtures / recall tests instead)
     }

@@ -1,0 +1,88 @@
+"""Near-dup detection: planted duplicates must be found, unrelated docs
+must not pair up; MinHash estimate must track true Jaccard."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from xs_vlm_ocr_spark.operators.text_dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split()
+
+
+def _mk_corpus():
+    rng = random.Random(7)
+    docs = []
+    for i in range(40):
+        docs.append((f"d{i:03d}", " ".join(rng.choice(WORDS) for _ in range(120))))
+    # planted near-dups: d900/d901 differ by one word; d902 is an exact copy of d000
+    base = docs[0][1]
+    toks = base.split()
+    toks[10] = "changedword"
+    docs.append(("d900", base))
+    docs.append(("d901", " ".join(toks)))
+    docs.append(("d902", base))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(_mk_corpus(), "doc_id string, text string").cache()
+
+
+def _planted(pairs):
+    planted = {p for p in pairs if p[0].startswith("d9") and p[1].startswith("d9")
+               or ("d000" in p)}
+    return planted
+
+
+def test_ngram_jaccard_finds_planted(corpus_df):
+    pairs = {(r["a"], r["b"]) for r in
+             ngram_jaccard_pairs(corpus_df, threshold=0.7).collect()}
+    assert ("d900", "d902") in pairs          # exact copy
+    assert ("d900", "d901") in pairs          # one-word edit
+    assert ("d000", "d900") in pairs and ("d000", "d902") in pairs
+    # random 120-word docs over a 14-word vocab share grams but not 70%
+    others = {p for p in pairs if not (p[0] in ("d000",) or p[0].startswith("d9"))}
+    assert not others
+
+
+def test_minhash_lsh_finds_planted_and_estimates(corpus_df):
+    got = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in minhash_lsh_pairs(corpus_df, num_perm=64, bands=16).collect()}
+    assert got.get(("d900", "d902"), 0) == 1.0          # identical signature
+    assert got.get(("d900", "d901"), 0) > 0.6           # near-identical
+    assert got.get(("d000", "d900"), 0) == 1.0
+
+
+def test_minhash_deterministic(corpus_df, spark):
+    a = sorted(map(tuple, minhash_lsh_pairs(corpus_df).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(corpus_df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_simhash_near_pairs(corpus_df):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_near_pairs(corpus_df, max_hamming=6).collect()}
+    assert pairs.get(("d900", "d902")) == 0   # identical text -> identical hash
+    assert pairs.get(("d000", "d900")) == 0
+    assert ("d900", "d901") in pairs          # one-word edit -> few bits flip
+
+
+def test_embedding_near_dup(spark):
+    from xs_vlm_ocr_spark.operators.text_dedup import embedding_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert pairs == {(0, 1), (2, 3)}

@@ -47,6 +47,10 @@ class ExtractionJob:
         n_parts = target_partitions or spark.sparkContext.defaultParallelism * 3
         jobs = with_content_hash(valid_docs(docs), self.model_name)
         jobs = filter_uncached(jobs, self.results.read(spark))
+        # within-batch dedup: one compute per content_hash (reference D1 —
+        # identical (doc, strategy) submitted twice runs once); rows with
+        # equal hash are byte-identical, so any winner is deterministic
+        jobs = jobs.dropDuplicates(["content_hash"])
         jobs = repartition_by_doc_length(jobs, n_parts)
         return extract_spans(jobs, self.model_name)
 

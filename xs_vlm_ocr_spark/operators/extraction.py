@@ -78,6 +78,12 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame
         docs = with_content_hash(docs, model_name)
     src = docs.select("doc_id", "spans", "content_hash")
 
+    # engine dispatch (reference MainWindow.cpp:846-882): strategy name ->
+    # registered single-doc extractor; unknown names use the default
+    from xs_vlm_ocr_spark.strategies import REGISTRY
+
+    extract_fn = REGISTRY.get(model_name, extract_doc)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
@@ -89,7 +95,7 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame
                 docs_in += 1
                 t0 = time.monotonic_ns()
                 try:
-                    out = extract_doc(spans)
+                    out = extract_fn(spans)
                     full = merge_full_text(out)
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
                     docs_out += 1
