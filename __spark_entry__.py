@@ -376,6 +376,153 @@ def _q_strategy_inheritance(spark, sf_dir):
     )
 
 
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively; union-tag + window
+    composition) — oracle: DuckDB's native ASOF LEFT JOIN."""
+    from xs_vlm_ocr_spark.operators.asof import asof_join
+
+    ev = _doc_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("event_id").alias("purchase_event"),
+    )
+    out = asof_join(clicks, purchases, key="user_id", left_ts="ts",
+                    right_ts="p_ts", payload_cols=["purchase_event"])
+    return out.select("event_id", "user_id", "purchase_event")
+
+
+def _q_sessionize(spark, sf_dir):
+    from xs_vlm_ocr_spark.operators.asof import sessionize
+
+    ev = _doc_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return sessionize(ev, key="user_id", ts_col="ts").select(
+        "user_id", "event_id", "session_seq"
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    orders = _doc_table(spark, sf_dir, "orders")
+    cust = _doc_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    from pyspark.sql import Window
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "o_orderkey", "rk")
+    )
+
+
+def _q_events_cube(spark, sf_dir):
+    ev = _doc_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.dayofmonth(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_events_daily_pivot(spark, sf_dir):
+    ev = _doc_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofmonth(F.col("ts").cast("timestamp")).alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .withColumnsRenamed({t: f"n_{t}" for t in
+                             ["click", "view", "purchase", "signup", "error"]})
+    )
+
+
+def _q_value_percentiles(spark, sf_dir):
+    ev = _doc_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+def _q_streaming_hourly_rollup(spark, sf_dir):
+    """The same hourly rollup as a genuine Structured Streaming query
+    (file source -> watermarked tumbling window -> memory sink), run to
+    completion; oracle = the batch SQL."""
+    from xs_vlm_ocr_spark.streaming.incremental import windowed_doc_metrics
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+    )
+    agg = windowed_doc_metrics(stream, "ts", "1 hour", "2 hours")
+    name = "stream_rollup_out"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+
+
+def _q_glm_cleanup(spark, sf_dir):
+    """Model-output normalization chain (reference GLMAdapter post-
+    processing) applied to synthetically wrapped doc text."""
+    from xs_vlm_ocr_spark.functions.cleanup import glm_cleanup_chain
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<|begin_of_box|>: "'), F.col("text"), F.lit('",<|end_of_box|>')
+    )
+    return docs.select("doc_id", glm_cleanup_chain(raw).alias("clean"))
+
+
+def _q_json_response_parse(spark, sf_dir):
+    """Schema-tolerant response parse (reference Doubao 3-way fallback +
+    error surfacing) over per-event synthetic response shapes."""
+    from xs_vlm_ocr_spark.functions.cleanup import parse_response_with_fallbacks
+
+    ev = _doc_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    resp = (
+        F.when(F.col("event_type") == "click",
+               F.concat(F.lit('{"output":{"text":"'), uid, F.lit('"}}')))
+        .when(F.col("event_type") == "view",
+              F.concat(F.lit('{"choices":[{"message":{"content":"'), uid, F.lit('"}}]}')))
+        .when(F.col("event_type") == "error",
+              F.concat(F.lit('{"error":{"message":"'), uid, F.lit('"}}')))
+        .otherwise(F.concat(F.lit('{"output_text":"'), uid, F.lit('"}')))
+    )
+    return ev.select("event_id", parse_response_with_fallbacks(resp).alias("parsed"))
+
+
+def _q_scalar_functions(spark, sf_dir):
+    """§2.9 scalar parity batch: base64 payload encode, epoch-ms
+    round-trip, day-end clamp, preview projection in one scan."""
+    from xs_vlm_ocr_spark.operators.history import day_end_clamp
+
+    ev = _doc_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.base64(F.encode(F.col("event_type"), "utf-8")).alias("b64_type"),
+        F.unix_millis(ts).alias("epoch_ms"),
+        F.unix_micros(day_end_clamp(ts)).alias("day_end_us"),
+        F.substring(F.regexp_replace("props", "\\n", " "), 1, 10).alias("props_preview"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_filtered_count": _q_history_filtered_count,
@@ -406,6 +553,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near,
         "media_decode": _q_media_decode,
         "strategy_inheritance": _q_strategy_inheritance,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "topk_per_group": _q_topk_per_group,
+        "events_cube": _q_events_cube,
+        "events_daily_pivot": _q_events_daily_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "streaming_hourly_rollup": _q_streaming_hourly_rollup,
+        "glm_cleanup": _q_glm_cleanup,
+        "json_response_parse": _q_json_response_parse,
+        "scalar_functions": _q_scalar_functions,
     }
 
 
@@ -606,6 +763,105 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.own_key, nullif(p.api_key, ''), '') AS api_key,
                    m.enabled
             FROM models m LEFT JOIN providers p ON m.provider = p.id
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+              SELECT user_id, ts AS p_ts, event_id AS purchase_event
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, p.purchase_event
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        """,
+        "sessionize": """
+            SELECT user_id, event_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR ts > prev_ts + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+              FROM events
+            )
+        """,
+        "topk_per_group": """
+            SELECT c_nationkey, o_orderkey, rk FROM (
+              SELECT c.c_nationkey, o.o_orderkey,
+                     row_number() OVER (PARTITION BY c.c_nationkey
+                                        ORDER BY o.o_totalprice DESC,
+                                                 o.o_orderkey ASC) AS rk
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rk <= 3
+        """,
+        "events_cube": """
+            SELECT event_type, dayofmonth(ts) AS day, count(*) AS n
+            FROM events GROUP BY CUBE (event_type, dayofmonth(ts))
+        """,
+        "events_daily_pivot": """
+            SELECT dayofmonth(ts) AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "streaming_hourly_rollup": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   count(*) AS n_docs
+            FROM events GROUP BY 1
+        """,
+        "glm_cleanup": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     trim(regexp_replace(
+                       trim(regexp_replace(
+                         '<|begin_of_box|>: "' || text || '",<|end_of_box|>',
+                         '<\|begin_of_box\|>|<\|end_of_box\|>', '', 'g')),
+                       '^:', '')),
+                     '^"(.*)"$', '\1'), ',$', '')) AS clean
+            FROM documents
+        """,
+        "json_response_parse": """
+            SELECT event_id,
+                   coalesce(
+                     json_extract_string(resp, '$.output.text'),
+                     json_extract_string(resp, '$.choices[0].message.content'),
+                     json_extract_string(resp, '$.output_text'),
+                     'ERROR: ' || json_extract_string(resp, '$.error.message')
+                   ) AS parsed
+            FROM (
+              SELECT event_id,
+                     CASE WHEN event_type = 'click'
+                          THEN '{"output":{"text":"' || user_id || '"}}'
+                          WHEN event_type = 'view'
+                          THEN '{"choices":[{"message":{"content":"' || user_id || '"}}]}'
+                          WHEN event_type = 'error'
+                          THEN '{"error":{"message":"' || user_id || '"}}'
+                          ELSE '{"output_text":"' || user_id || '"}' END AS resp
+              FROM events
+            )
+        """,
+        "scalar_functions": """
+            SELECT event_id,
+                   to_base64(encode(event_type)) AS b64_type,
+                   epoch_ms(ts) AS epoch_ms,
+                   epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY
+                            - INTERVAL 1 SECOND) AS day_end_us,
+                   substr(replace(props, chr(10), ' '), 1, 10) AS props_preview
+            FROM events
         """,
         # extract_flagship, knn_lsh, fingerprint_dedup, minhash/simhash
         # pairs: intentionally no oracle (non-SQL ops;

@@ -1,0 +1,59 @@
+"""spark-submit entrypoint.
+
+    python tools/package.py                      # -> dist/xs_vlm_ocr_spark.zip
+    spark-submit --py-files dist/xs_vlm_ocr_spark.zip job_main.py \
+        --input /path/docs_parquet --output /path/out \
+        [--model main_content_v1] [--partitions N] [--run-id RID]
+
+Reads the interleaved docs table, runs the resumable extraction job
+(anti-join against the committed snapshot -> skew-aware repartition ->
+vectorized extraction -> results + lineage commit), prints a one-line
+JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="interleaved docs parquet dir")
+    ap.add_argument("--output", required=True, help="job output root (results/lineage)")
+    ap.add_argument("--model", default="main_content_v1")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from xs_vlm_ocr_spark.job import ExtractionJob
+
+    # under spark-submit the session config comes from --conf; this
+    # getOrCreate just attaches (local fallback for direct python runs)
+    spark = SparkSession.builder.appName("xs_vlm_ocr_spark_job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    job = ExtractionJob(args.output, model_name=args.model)
+    run_id = job.run(spark, docs, run_id=args.run_id, target_partitions=args.partitions)
+
+    results = job.read_results(spark)
+    lineage = job.read_lineage(spark).filter(f"run_id = '{run_id}'")
+    stats = lineage.groupBy().sum("docs_in", "docs_out", "span_count", "wall_ms").first()
+    print(
+        json.dumps(
+            {
+                "run_id": run_id,
+                "total_results": results.count() if results is not None else 0,
+                "docs_in": stats[0] or 0,
+                "docs_out": stats[1] or 0,
+                "span_count": stats[2] or 0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

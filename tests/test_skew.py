@@ -1,0 +1,79 @@
+"""Skew machinery: on the deliberately skewed corpus (1% of docs ~40x
+cost), byte-length range partitioning must cut the straggler ratio
+(max/median partition wall_ms) vs naive round-robin partitioning, and
+the salted aggregation must match the plain one."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from xs_vlm_ocr_spark.corpus import gen_docs_df
+from xs_vlm_ocr_spark.operators.extraction import extract_spans, split_extraction_output
+from xs_vlm_ocr_spark.operators.skew import (
+    repartition_by_doc_length,
+    salted_group_count,
+    with_byte_len,
+)
+
+N_DOCS = 400
+N_PARTS = 8
+
+
+def _straggler_ratio(lineage_rows):
+    # span_count is the deterministic per-partition cost proxy (wall_ms
+    # is the real thing but too noisy for a CI assertion on a shared VM)
+    loads = sorted(r["span_count"] for r in lineage_rows if r["docs_in"] > 0)
+    med = loads[len(loads) // 2] or 1
+    return loads[-1] / med, loads
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    return gen_docs_df(spark, N_DOCS, skewed=True).cache()
+
+
+def test_range_partition_reduces_stragglers(spark, skewed_docs):
+    naive = skewed_docs.repartition(N_PARTS)  # hash/round-robin baseline
+    _, lin_naive = split_extraction_output(extract_spans(naive))
+    ratio_naive, walls_naive = _straggler_ratio(
+        [r.asDict() for r in lin_naive.collect()]
+    )
+
+    # tiny corpus -> full-pass stats (the 0.05 default is for at-scale runs)
+    balanced = repartition_by_doc_length(skewed_docs, N_PARTS, sample_fraction=1.0)
+    _, lin_bal = split_extraction_output(extract_spans(balanced))
+    ratio_bal, walls_bal = _straggler_ratio(
+        [r.asDict() for r in lin_bal.collect()]
+    )
+
+    # stage wall-clock = the slowest task: hot/cold split must cut the
+    # max task cost (the max/median ratio alone is misleading — the
+    # split also shrinks the median by packing smalls densely)
+    assert max(walls_bal) < max(walls_naive), (walls_naive, walls_bal)
+    assert ratio_naive > 1.5  # the naive plan really did straggle
+
+
+def test_byte_len_is_true_cost_proxy(spark, skewed_docs):
+    rows = with_byte_len(skewed_docs).select("doc_id", "byte_len").collect()
+    lens = {r["doc_id"]: r["byte_len"] for r in rows}
+    hot = [v for k, v in lens.items() if int(k.split("_")[1]) % 100 == 0]
+    cold = [v for k, v in lens.items() if int(k.split("_")[1]) % 100 != 0]
+    assert min(hot) > 5 * (sum(cold) / len(cold))
+
+
+def test_no_skew_means_no_shuffle(spark):
+    """On a non-skewed corpus the adaptive partitioner must return the
+    input plan untouched (zero shuffle added)."""
+    docs = gen_docs_df(spark, 200)
+    out = repartition_by_doc_length(docs, N_PARTS, sample_fraction=1.0)
+    assert out is docs
+
+
+def test_salted_group_count_matches_plain(spark, skewed_docs):
+    ex = skewed_docs.select(
+        F.explode("spans").alias("s")
+    ).select(F.col("s.kind").alias("kind"))
+    plain = {r["kind"]: r["count"] for r in
+             ex.groupBy("kind").agg(F.count(F.lit(1)).alias("count")).collect()}
+    salted = {r["kind"]: r["count"] for r in
+              salted_group_count(ex, "kind", buckets=16).collect()}
+    assert plain == salted and len(plain) >= 3

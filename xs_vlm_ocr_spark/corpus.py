@@ -134,8 +134,11 @@ def gen_doc(doc_id: str, seed: int = DEFAULT_SEED, hot: bool = False) -> dict:
     # log-ish size distribution; hot docs ~40x
     n_paras = int(2 * (30 ** rng.random()))
     if hot:
-        n_paras *= 40
+        n_paras = (n_paras + 10) * 40
     flavor = rng.random()
+    if hot:
+        flavor = 0.0  # hot docs are giant HTML pages (pdf pages cap at one
+        # page height, so only the html flavor grows without bound)
     raw_spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
 
     n_media = rng.randint(0, 5)

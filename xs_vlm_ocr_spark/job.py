@@ -35,23 +35,32 @@ from xs_vlm_ocr_spark.table_io import CheckpointedTable
 
 
 class ExtractionJob:
-    def __init__(self, out_dir: str, model_name: str = DEFAULT_MODEL) -> None:
+    def __init__(self, out_dir: str, model_name: str = DEFAULT_MODEL,
+                 skew_sample_fraction: float = 0.05) -> None:
         self.out_dir = out_dir
         self.model_name = model_name
+        self.skew_sample_fraction = skew_sample_fraction
         self.results = CheckpointedTable(os.path.join(out_dir, "results"))
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
 
     def plan(self, spark: SparkSession, docs: DataFrame,
              target_partitions: int | None = None) -> DataFrame:
         """The lazy extraction plan (no write): docs -> combined output."""
+        from xs_vlm_ocr_spark.operators.skew import doc_length_stats
+
         n_parts = target_partitions or spark.sparkContext.defaultParallelism * 3
-        jobs = with_content_hash(valid_docs(docs), self.model_name)
+        valid = valid_docs(docs)
+        # skew stats from the cheap raw scan (the quantile pass is an
+        # action — computing it on the post-anti-join plan would run the
+        # whole upstream twice)
+        stats = doc_length_stats(valid, sample_fraction=self.skew_sample_fraction)
+        jobs = with_content_hash(valid, self.model_name)
         jobs = filter_uncached(jobs, self.results.read(spark))
         # within-batch dedup: one compute per content_hash (reference D1 —
         # identical (doc, strategy) submitted twice runs once); rows with
         # equal hash are byte-identical, so any winner is deterministic
         jobs = jobs.dropDuplicates(["content_hash"])
-        jobs = repartition_by_doc_length(jobs, n_parts)
+        jobs = repartition_by_doc_length(jobs, n_parts, stats=stats)
         return extract_spans(jobs, self.model_name)
 
     def run(self, spark: SparkSession, docs: DataFrame,

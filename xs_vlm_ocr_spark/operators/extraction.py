@@ -73,16 +73,41 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame
 
     Output carries one row per doc plus one trailing lineage marker row
     per partition (doc_id NULL); split with ``split_extraction_output``.
+
+    Serde strategy (measured ~40% of stage time otherwise): the
+    array-of-struct spans column crosses the Arrow boundary as four
+    parallel primitive arrays in both directions — primitive-list Arrow
+    conversion is far cheaper than per-span python dicts — and the
+    output struct array is rebuilt JVM-side with arrays_zip/transform
+    (the dense `order` field IS the array index, by construction of
+    extract_doc's output).
     """
     if "content_hash" not in docs.columns:
         docs = with_content_hash(docs, model_name)
-    src = docs.select("doc_id", "spans", "content_hash")
+    src = docs.select(
+        "doc_id",
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+        F.col("spans.media_ref").alias("_refs"),
+        F.col("spans.offset").alias("_offs"),
+        "content_hash",
+    )
 
     # engine dispatch (reference MainWindow.cpp:846-882): strategy name ->
     # registered single-doc extractor; unknown names use the default
     from xs_vlm_ocr_spark.strategies import REGISTRY
 
     extract_fn = REGISTRY.get(model_name, extract_doc)
+
+    raw_ddl = (
+        "doc_id string, success boolean, error_message string, "
+        "o_kinds array<string>, o_texts array<string>, o_refs array<string>, "
+        "full_text string, model_name string, content_hash string, "
+        "processing_time_ms long, "
+        "lineage struct<partition_id:int,docs_in:long,docs_out:long,span_count:long,wall_ms:long>"
+    )
+    cols = ["doc_id", "success", "error_message", "o_kinds", "o_texts", "o_refs",
+            "full_text", "model_name", "content_hash", "processing_time_ms", "lineage"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -91,38 +116,59 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame
         docs_in = docs_out = span_count = 0
         for pdf in batches:
             rows = []
-            for doc_id, spans, chash in zip(pdf["doc_id"], pdf["spans"], pdf["content_hash"]):
+            for doc_id, kinds, texts, refs, offs, chash in zip(
+                pdf["doc_id"], pdf["_kinds"], pdf["_texts"], pdf["_refs"],
+                pdf["_offs"], pdf["content_hash"],
+            ):
                 docs_in += 1
                 t0 = time.monotonic_ns()
                 try:
+                    spans = [
+                        {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
+                        for k, t, r, o in zip(kinds, texts, refs, offs)
+                    ]
                     out = extract_fn(spans)
                     full = merge_full_text(out)
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
                     docs_out += 1
                     span_count += len(out)
-                    rows.append((doc_id, True, "", out, full, model_name, chash, elapsed, None))
+                    rows.append(
+                        (doc_id, True, "",
+                         [s["kind"] for s in out], [s["text"] for s in out],
+                         [s["media_ref"] for s in out],
+                         full, model_name, chash, elapsed, None)
+                    )
                 except Exception as exc:  # failure isolation: error rows, never raise
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
                     rows.append(
-                        (doc_id, False, f"{type(exc).__name__}: {exc}"[:500], [], "",
-                         model_name, chash, elapsed, None)
+                        (doc_id, False, f"{type(exc).__name__}: {exc}"[:500],
+                         [], [], [], "", model_name, chash, elapsed, None)
                     )
             if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=["doc_id", "success", "error_message", "spans_out", "full_text",
-                             "model_name", "content_hash", "processing_time_ms", "lineage"],
-                )
+                yield pd.DataFrame(rows, columns=cols)
         wall_ms = int((time.monotonic() - t_start) * 1000)
         lineage = {"partition_id": pid, "docs_in": docs_in, "docs_out": docs_out,
                    "span_count": span_count, "wall_ms": wall_ms}
         yield pd.DataFrame(
-            [(None, None, None, None, None, None, None, None, lineage)],
-            columns=["doc_id", "success", "error_message", "spans_out", "full_text",
-                     "model_name", "content_hash", "processing_time_ms", "lineage"],
+            [(None, None, None, None, None, None, None, None, None, None, lineage)],
+            columns=cols,
         )
 
-    return src.mapInPandas(run, schema=EXTRACTION_OUTPUT_DDL)
+    raw = src.mapInPandas(run, schema=raw_ddl)
+    spans_out = F.transform(
+        F.arrays_zip("o_kinds", "o_texts", "o_refs"),
+        lambda s, i: F.struct(
+            s["o_kinds"].alias("kind"),
+            s["o_texts"].alias("text"),
+            s["o_refs"].alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    )
+    return raw.select(
+        "doc_id", "success", "error_message",
+        F.when(F.col("doc_id").isNotNull(), spans_out).alias("spans_out"),
+        "full_text", "model_name", "content_hash", "processing_time_ms", "lineage",
+    )
 
 
 def split_extraction_output(combined: DataFrame) -> tuple[DataFrame, DataFrame]:

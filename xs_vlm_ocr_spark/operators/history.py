@@ -105,6 +105,18 @@ def retention_topn(df: DataFrame, n: int, ts_col: str, id_col: str) -> DataFrame
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
 
 
+def apply_retention(table, spark, n: int, ts_col: str = "ts", id_col: str = "id") -> None:
+    """Enforce top-N retention on a checkpointed table: keep the newest
+    N rows and rewrite as one compacted snapshot (reference O2+K6,
+    HistoryManager.cpp:330-363 + VACUUM :391-395)."""
+    import uuid as _uuid
+
+    df = table.read(spark)
+    if df is None:
+        return
+    table.replace(retention_topn(df, n, ts_col, id_col), f"retain-{_uuid.uuid4().hex[:8]}")
+
+
 def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak_col: str) -> DataFrame:
     """Most-recent-wins dedup (reference O4/D1 cache lookup,
     HistoryManager.cpp:480-483): row_number over (key) ordered desc."""

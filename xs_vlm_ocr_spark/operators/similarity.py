@@ -97,6 +97,79 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _centroids(dim: int, n_cells: int, seed: int) -> list[list[float]]:
+    rng = random.Random(f"ivf:{seed}")
+    cs = []
+    for _ in range(n_cells):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cs.append([x / n for x in v])
+    return cs
+
+
+def _cell_sims(vec_col, centroids) -> list:
+    return [
+        F.struct(
+            _dot(vec_col, F.array(*[F.lit(p) for p in c])).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+
+
+def with_ivf_cell(df: DataFrame, dim: int, n_cells: int = 16, seed: int = 42,
+                  vec_col: str = "embedding", out_col: str = "ivf_cell") -> DataFrame:
+    """IVF coarse quantizer with deterministic seeded centroids: cell =
+    argmax cosine(centroid, v) — JVM-side (array_max over (sim, idx)
+    structs picks the lexicographically largest, i.e. highest sim)."""
+    best = F.array_max(F.array(*_cell_sims(F.col(vec_col), _centroids(dim, n_cells, seed))))
+    return df.withColumn(out_col, best["i"])
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates are bucketed once by
+    nearest centroid; each query probes its nprobe nearest cells and
+    reranks exactly within them. Join volume ~ nprobe/n_cells of the
+    cross join — the classic recall/compute dial (nprobe=n_cells is
+    exact). At scale the candidate side can be written bucketed by
+    ivf_cell so probes prune at the scan."""
+    centroids = _centroids(dim, n_cells, seed)
+    cb = with_ivf_cell(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
+        dim, n_cells, seed, "_e", "ivf_cell",
+    )
+    sims_sorted = F.reverse(F.array_sort(F.array(*_cell_sims(F.col("_q"), centroids))))
+    probe_cells = F.transform(F.slice(sims_sorted, 1, nprobe), lambda s: s["i"])
+    qb = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+        .withColumn("ivf_cell", F.explode(probe_cells))
+    )
+    pairs = (
+        cb.join(F.broadcast(qb), "ivf_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_sim",
+            _dot(F.col("_q"), F.col("_e")) / (_norm(F.col("_q")) * _norm(F.col("_e"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank")
+    )
+
+
 def lsh_cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -37,13 +37,55 @@ def with_byte_len(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_length_stats(docs: DataFrame, sample_fraction: float = 0.05,
+                     hot_quantile: float = 0.99, seed: int = 42) -> tuple[float, float]:
+    """(median, hot-quantile) byte length from a seeded sample — one
+    cheap pass over a fraction of the data instead of a full scan.
+    Returns (0, 0) on an (effectively) empty input."""
+    sample = with_byte_len(docs.sample(fraction=sample_fraction, seed=seed))
+    qs = sample.approxQuantile("byte_len", [0.5, hot_quantile], 0.02)
+    if not qs or qs[0] is None:
+        return 0.0, 0.0
+    return qs[0], qs[1]
+
+
 def repartition_by_doc_length(docs: DataFrame, num_partitions: int,
-                              drop_helper: bool = True) -> DataFrame:
-    df = with_byte_len(docs).withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000))
+                              hot_quantile: float = 0.99,
+                              skew_ratio_threshold: float = 10.0,
+                              sample_fraction: float = 0.05,
+                              stats: tuple[float, float] | None = None) -> DataFrame:
+    """Cost-aware, *adaptive* partitioning for the extraction map stage.
+
+    Shuffling 100 TB of document bytes just to balance cost is itself a
+    cost — so first decide from sampled stats whether the input is
+    skewed at all (p99/median byte length >= skew_ratio_threshold). If
+    not, return the input untouched: zero shuffle, source partitioning
+    wins. If skewed:
+
+      * naive range-partitioning on byte_len would pack ALL giants into
+        the top partition (range balances row counts, not cost) —
+        measurably worse than round-robin (see tests/test_skew.py);
+      * instead, split at the sampled hot quantile: the cold stream
+        round-robins over num_partitions (uniform cost), the hot stream
+        round-robins separately (few rows -> ~one giant per partition,
+        the irreducible minimum task size), then unionByName (narrow).
+
+    Giant-task wall time collapses to a single doc's cost instead of a
+    random number of colliding giants.
+
+    ``stats``: precomputed (median, hot-quantile) — pass it when the
+    input DataFrame has expensive upstream stages (the quantile pass is
+    an action and would recompute them; callers compute stats on the
+    cheap raw scan instead, see job.ExtractionJob.plan)."""
+    med, thr = stats if stats is not None else doc_length_stats(
+        docs, sample_fraction, hot_quantile
     )
-    out = df.repartitionByRange(num_partitions, "byte_len", "_salt")
-    return out.drop("byte_len", "_salt") if drop_helper else out.drop("_salt")
+    if thr <= 0 or med <= 0 or thr / med < skew_ratio_threshold:
+        return docs  # no material skew: don't pay a shuffle for nothing
+    df = with_byte_len(docs)
+    cold = df.filter(F.col("byte_len") < thr).repartition(num_partitions)
+    hot = df.filter(F.col("byte_len") >= thr).repartition(num_partitions)
+    return cold.unionByName(hot).drop("byte_len")
 
 
 def salted_group_count(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:

@@ -67,6 +67,22 @@ class CheckpointedTable:
     def abandon(self, run_id: str) -> None:
         shutil.rmtree(self.run_dir(run_id), ignore_errors=True)
 
+    def replace(self, df: DataFrame, run_id: str) -> None:
+        """Rewrite the table as a single snapshot (atomic): the manifest
+        flips to [run_id] in one rename; old run dirs become garbage
+        (expired snapshots) and are vacuumed afterwards. Reference
+        analogue: top-N retention rewrite + VACUUM (HistoryManager.cpp:
+        330-363, 391-395); Iceberg analogue: overwrite + expire_snapshots."""
+        old_runs = [r for r in self.committed_runs() if r != run_id]
+        df.write.mode("overwrite").parquet(self.run_dir(run_id))
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"runs": [run_id]}, f)
+        os.replace(tmp, self.manifest_path)
+        for r in old_runs:  # expire old snapshots (post-commit cleanup)
+            self.abandon(r)
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """DataFrame over committed runs only; None when table is empty."""
         dirs = [self.run_dir(r) for r in self.committed_runs()]
