@@ -69,6 +69,9 @@ def main() -> None:
         "dedup_cache_probe",
         "knn_topk_cosine",
         "extract_flagship",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "asof_join",
     ):
         t0 = time.monotonic()
         queries[name](spark, SF_DIR).count()

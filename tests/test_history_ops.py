@@ -1,0 +1,68 @@
+"""Unit coverage for history/dedup operators not hit by the oracle
+harness: keyset pagination, cache-hit replay, invalid-doc routing,
+exact dedup winners."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from xs_vlm_ocr_spark.operators.dedup import cache_hits, exact_dedup
+from xs_vlm_ocr_spark.operators.extraction import invalid_docs, valid_docs
+from xs_vlm_ocr_spark.operators.history import page_after, paginate
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+
+
+def test_keyset_pagination_equals_offset_pagination(spark, events):
+    ev = events.select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    p0 = paginate(ev, "ts", "event_id", page=0, page_size=25).collect()
+    p1 = paginate(ev, "ts", "event_id", page=1, page_size=25).collect()
+
+    k0 = page_after(ev, "ts", "event_id", None, 25).collect()
+    last = (k0[-1]["ts"], k0[-1]["event_id"])
+    k1 = page_after(ev, "ts", "event_id", last, 25).collect()
+
+    key = lambda rows: [(r["ts"], r["event_id"]) for r in rows]  # noqa: E731
+    assert sorted(key(p0)) == sorted(key(k0))
+    assert sorted(key(p1)) == sorted(key(k1))
+
+
+def test_cache_hits_replay_with_zero_time(spark):
+    results = spark.createDataFrame(
+        [
+            ("h1", "d1", True, "text one", 120),
+            ("h1", "d1", True, "text one", 80),      # older duplicate
+            ("h2", "d2", False, "", 50),              # failed: never a hit
+            ("h3", "d3", True, "text three", 60),
+        ],
+        "content_hash string, doc_id string, success boolean, full_text string, processing_time_ms long",
+    )
+    jobs = spark.createDataFrame([("h1",), ("h2",), ("h9",)], "content_hash string")
+    hits = {r["content_hash"]: r for r in cache_hits(jobs, results).collect()}
+    assert set(hits) == {"h1"}  # h2 failed, h9 unknown
+    assert hits["h1"]["processing_time_ms"] == 0  # reference cache-hit marker
+    assert hits["h1"]["full_text"] == "text one"
+
+
+def test_invalid_docs_routed_not_dropped(spark):
+    from xs_vlm_ocr_spark.schemas import DOCS_SCHEMA
+
+    rows = [
+        {"doc_id": "ok", "spans": [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]},
+        {"doc_id": "empty", "spans": []},
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    assert [r["doc_id"] for r in valid_docs(df).collect()] == ["ok"]
+    assert [r["doc_id"] for r in invalid_docs(df).collect()] == ["empty"]
+    assert valid_docs(df).count() + invalid_docs(df).count() == df.count()
+
+
+def test_exact_dedup_keeps_lowest_doc_id(spark):
+    df = spark.createDataFrame(
+        [("b", "same text"), ("a", "same text"), ("c", "other text")],
+        "doc_id string, full_text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == ["a", "c"]

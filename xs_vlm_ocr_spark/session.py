@@ -32,8 +32,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # measured on this workload: 4096-row Arrow batches cut per-batch
+        # python round-trip overhead ~30% vs 2048 (tools/bench_scaling.py)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # cap GC parallelism: with 32 task threads + 32 python workers on
+        # one socket, default GC threads (=cores) fight the extraction
+        # workers for the memory bus (measured ~25% stage time)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={min(8, cores)} -XX:ConcGCThreads=2",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
