@@ -59,7 +59,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     the shuffle; hot shingles (stopword grams) can be frequency-capped
     upstream — here df sizes are modest and AQE skew-split covers it.
     """
-    sh = with_word_shingles(df, text_col, n, id_col)
+    # persist: the self-join + sizes agg would otherwise recompute the
+    # shingle explode three times (ContextCleaner unpersists on GC)
+    sh = with_word_shingles(df, text_col, n, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -100,6 +102,8 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _doc_shingle_hashes(text: str, n: int) -> np.ndarray:
+    import hashlib
+
     toks = text.lower().split()
     if len(toks) < n:
         grams = [" ".join(toks)] if toks else []
@@ -107,13 +111,13 @@ def _doc_shingle_hashes(text: str, n: int) -> np.ndarray:
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     if not grams:
         return np.zeros(0, dtype=np.uint64)
-    # FNV-1a 64 over utf-8, vectorized enough for batch sizes here
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for byt in g.encode("utf-8"):
-            h = (h ^ np.uint64(byt)) * np.uint64(0x100000001B3) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    # blake2b (C speed, deterministic, unsalted) -> 8-byte gram keys
+    b2b, from_bytes = hashlib.blake2b, int.from_bytes
+    out = np.fromiter(
+        (from_bytes(b2b(g.encode("utf-8"), digest_size=8).digest(), "little")
+         for g in grams),
+        dtype=np.uint64, count=len(grams),
+    )
     return np.unique(out)
 
 
@@ -166,7 +170,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket").persist()
+    # persist: both sides of the self-join share the pandas-UDF
+    # signature stage — without it the signatures compute twice
     a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"), "band", "bucket")
     cand = (
