@@ -99,7 +99,9 @@ def _xycut(lines: list[Line], depth: int, out: list[list[Line]]) -> None:
 
 
 def _merge_paragraphs(leaf: list[Line]) -> list[str]:
-    ordered = sorted(leaf, key=lambda ln: (ln.y0, ln.x0))
+    # full-tuple key: ties on (y0, x0) — e.g. identical boxes — must not
+    # fall back to input arrival order (permutation invariance)
+    ordered = sorted(leaf, key=lambda ln: (ln.y0, ln.x0, ln.y1, ln.x1, ln.content))
     paras: list[str] = []
     buf: list[str] = []
     prev: Line | None = None
