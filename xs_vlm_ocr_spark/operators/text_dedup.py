@@ -175,18 +175,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # signature stage — without it the signatures compute twice
     a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "siga", "sigb")
-        .distinct()
-    )
     est = F.aggregate(
         F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_perm)
-    return cand.withColumn("est_jaccard", est).select("a", "b", "est_jaccard")
+    # estimate per band collision (cheap zip_with, <= `bands` dupes per
+    # pair), then dedup on the narrow (a, b, est) — shuffling 64-long
+    # signature arrays through a wide distinct costs far more
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("est_jaccard", est)
+        .groupBy("a", "b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
 
 
 # ---------------------------------------------------------------- SimHash
