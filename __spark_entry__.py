@@ -523,6 +523,54 @@ def _q_scalar_functions(spark, sf_dir):
     )
 
 
+
+
+def _q_running_window_agg(spark, sf_dir):
+    """Cumulative per-key window aggregation (frame-based running sum —
+    exact decimal math so both engines agree bit-for-bit)."""
+    from pyspark.sql import Window
+
+    ev = _doc_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(14,4)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("seq"),
+    )
+
+
+def _q_semi_anti_joins(spark, sf_dir):
+    """Explicit left-semi / left-anti forms (EXISTS / NOT EXISTS)."""
+    orders = _doc_table(spark, sf_dir, "orders")
+    cust = _doc_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    semi = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi").select(
+        "o_orderkey", F.lit("building").alias("side")
+    )
+    anti = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").select(
+        "o_orderkey", F.lit("other").alias("side")
+    )
+    return semi.unionByName(anti)
+
+
+def _q_set_ops(spark, sf_dir):
+    """unionByName / intersect / exceptAll over doc slices."""
+    docs = _doc_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en")
+    short = _doc_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") < 300
+    ).select("doc_id", "lang")
+    return (
+        en.intersect(short).withColumn("bucket", F.lit("en_short"))
+        .unionByName(en.exceptAll(short).withColumn("bucket", F.lit("en_long")))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_filtered_count": _q_history_filtered_count,
@@ -563,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glm_cleanup": _q_glm_cleanup,
         "json_response_parse": _q_json_response_parse,
         "scalar_functions": _q_scalar_functions,
+        "running_window_agg": _q_running_window_agg,
+        "semi_anti_joins": _q_semi_anti_joins,
+        "set_ops": _q_set_ops,
     }
 
 
@@ -862,6 +913,39 @@ def oracle_sql() -> dict[str, str]:
                             - INTERVAL 1 SECOND) AS day_end_us,
                    substr(replace(props, chr(10), ' '), 1, 10) AS props_preview
             FROM events
+        """,
+        "running_window_agg": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(14,4)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+            FROM events
+        """,
+        "semi_anti_joins": """
+            SELECT o_orderkey, 'building' AS side FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
+            UNION ALL
+            SELECT o_orderkey, 'other' AS side FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = 'BUILDING')
+        """,
+        "set_ops": """
+            SELECT doc_id, lang, 'en_short' AS bucket FROM (
+              SELECT DISTINCT doc_id, lang FROM documents WHERE lang = 'en'
+              INTERSECT
+              SELECT DISTINCT doc_id, lang FROM documents WHERE n_chars < 300
+            )
+            UNION ALL
+            SELECT doc_id, lang, 'en_long' AS bucket FROM (
+              SELECT doc_id, lang FROM documents WHERE lang = 'en'
+              EXCEPT ALL
+              SELECT doc_id, lang FROM documents WHERE n_chars < 300
+            )
         """,
         # extract_flagship, knn_lsh, fingerprint_dedup, minhash/simhash
         # pairs: intentionally no oracle (non-SQL ops;
