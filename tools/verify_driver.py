@@ -19,7 +19,7 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)  # EXACT: stricter than any plausible driver hash
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return repr(v)
