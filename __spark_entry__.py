@@ -571,6 +571,19 @@ def _q_set_ops(spark, sf_dir):
     )
 
 
+
+
+def _q_knn_ivf(spark, sf_dir):
+    """IVF-cell approximate ANN — with nprobe=n_cells the probe is
+    exhaustive, so the exact brute-force oracle applies; the recall/
+    compute dial is tested in tests/test_similarity.py."""
+    from xs_vlm_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _doc_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64, k=10,
+                    n_cells=8, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_filtered_count": _q_history_filtered_count,
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_cosine": _q_knn_topk_cosine,
         "extract_flagship": _q_extract_flagship,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
@@ -946,6 +960,24 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT ALL
               SELECT doc_id, lang FROM documents WHERE n_chars < 300
             )
+        """,
+        "knn_ivf": """
+            WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id nid, embedding ne FROM embeddings),
+            pairs AS (
+              SELECT qid, nid,
+                list_sum(list_transform(list_zip(qe, ne),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+                sqrt(list_sum(list_transform(qe,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+                sqrt(list_sum(list_transform(ne,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+              FROM q CROSS JOIN c WHERE qid <> nid
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dot/(nq*nn) DESC, nid) AS knn_rank
+            FROM pairs QUALIFY knn_rank <= 10
         """,
         # extract_flagship, knn_lsh, fingerprint_dedup, minhash/simhash
         # pairs: intentionally no oracle (non-SQL ops;
