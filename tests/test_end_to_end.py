@@ -108,3 +108,22 @@ def test_idempotent_second_run_is_noop(spark, docs, tmp_path_factory):
     # empty plan -> zero tasks -> zero (or all-zero) lineage rows
     assert (lin2.agg({"docs_in": "sum"}).first()[0] or 0) == 0
     assert job.read_results(spark).count() == N_DOCS
+
+
+def test_invalid_docs_counted_in_lineage(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.schemas import DOCS_SCHEMA
+
+    good = gen_docs_df(spark, 20)
+    bad = spark.createDataFrame(
+        [{"doc_id": f"bad_{i}", "spans": []} for i in range(3)], DOCS_SCHEMA
+    )
+    job = ExtractionJob(str(tmp_path_factory.mktemp("job_invalid")))
+    run_id = job.run(spark, good.unionByName(bad))
+
+    assert job.read_results(spark).count() == 20  # only valid docs extracted
+    inv = job.read_lineage(spark).filter(
+        (F.col("run_id") == run_id) & (F.col("stage") == "invalid")
+    ).collect()
+    assert len(inv) == 1 and inv[0]["docs_in"] == 3 and inv[0]["docs_out"] == 0

@@ -25,6 +25,7 @@ from xs_vlm_ocr_spark.operators.dedup import filter_uncached
 from xs_vlm_ocr_spark.operators.extraction import (
     DEFAULT_MODEL,
     extract_spans,
+    invalid_docs,
     split_extraction_output,
     valid_docs,
     with_content_hash,
@@ -81,12 +82,18 @@ class ExtractionJob:
         staged = spark.read.parquet(staging)
         results, lineage = split_extraction_output(staged)
         self.results.append(results, run_id)
-        self.lineage.append(
-            lineage.withColumn("run_id", F.lit(run_id))
-            .withColumn("stage", F.lit("extract"))
-            .select([f.name for f in LINEAGE_SCHEMA.fields]),
-            run_id,
-        )
+        lineage = lineage.withColumn("run_id", F.lit(run_id)).withColumn(
+            "stage", F.lit("extract")
+        ).select([f.name for f in LINEAGE_SCHEMA.fields])
+        # invalid rows are routed, never silently dropped (reference skip
+        # counting, MainWindow.cpp:1361-1375): recorded as a lineage row
+        n_invalid = invalid_docs(docs).count()
+        if n_invalid:
+            inv_row = spark.createDataFrame(
+                [(run_id, "invalid", -1, n_invalid, 0, 0, 0)], LINEAGE_SCHEMA
+            )
+            lineage = lineage.unionByName(inv_row)
+        self.lineage.append(lineage, run_id)
         return run_id
 
     def read_results(self, spark: SparkSession) -> DataFrame | None:
