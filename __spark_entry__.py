@@ -285,7 +285,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     from xs_vlm_ocr_spark.operators.text_dedup import embedding_near_dup_pairs
 
     emb = _doc_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, dim=64)
 
 
 def _q_lang_id(spark, sf_dir):
@@ -678,7 +678,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
         """,
         "char_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            -- CAST: DuckDB sum(int) is HUGEINT; Spark's is BIGINT
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
         """,
@@ -842,12 +844,13 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id AND c.ts >= p.p_ts
         """,
         "sessionize": """
+            -- CAST: DuckDB windowed sum(int) is HUGEINT; Spark's is BIGINT
             SELECT user_id, event_id,
-                   sum(CASE WHEN prev_ts IS NULL
+                   CAST(sum(CASE WHEN prev_ts IS NULL
                              OR ts > prev_ts + INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM (
               SELECT user_id, event_id, ts,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -61,6 +61,16 @@ def main() -> None:
     extract_sec, n_docs = _extract_bench(spark)
     qtimes["extract_corpus"] = round(extract_sec, 3)
 
+    # min of 2 runs per query, after a tiny-scale warmup pass: identical
+    # plans measured cold vs JIT-warm differ up to 20x (the generated
+    # whole-stage code tiers up through the JVM's C1/C2 compilers), and
+    # the VM adds minute-scale host noise (±15% with 3-8x outliers — see
+    # BENCH/BASELINE.md). Warmup compiles the codegen paths on ~50 rows;
+    # min-of-2 then measures the engine's steady state, not the host.
+    # Each timed run rebuilds the full plan (no result reuse —
+    # operator-level persists are per-DataFrame; fresh calls recompute).
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     queries = entrymod.queries()
     for name in (
         "tpch_q1_pricing_summary",
@@ -73,9 +83,14 @@ def main() -> None:
         "minhash_lsh_pairs",
         "asof_join",
     ):
-        t0 = time.monotonic()
-        queries[name](spark, SF_DIR).count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        if os.path.isdir(WARM_DIR) and WARM_DIR != SF_DIR:
+            queries[name](spark, WARM_DIR).count()
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            queries[name](spark, SF_DIR).count()
+            best = min(best, time.monotonic() - t0)
+        qtimes[name] = round(best, 3)
 
     total = round(sum(qtimes.values()), 3)
     print(
@@ -90,6 +105,8 @@ def main() -> None:
                     "extract_docs": n_docs,
                     "extract_docs_per_sec": round(n_docs / extract_sec, 1),
                     "cores": CPUS,
+                    "runs_per_query": RUNS,
+                    "agg": "min",
                 },
             }
         )

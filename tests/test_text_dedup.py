@@ -86,3 +86,54 @@ def test_embedding_near_dup(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
     assert pairs == {(0, 1), (2, 3)}
+
+
+def test_grid_near_dup_complete_vs_exact(spark):
+    """eps-grid candidates must be a SUPERSET of qualifying pairs at any
+    threshold (triangle-inequality completeness), so grid == all-pairs."""
+    import numpy as np
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    # plant near-dups: rows 50..59 are tiny perturbations of rows 0..9
+    base[50:60] = base[0:10] + 0.02 * rng.standard_normal((10, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+    for t in (0.4, 0.8, 0.95):
+        grid = {(r["a"], r["b"]) for r in
+                embedding_near_dup_pairs(df, threshold=t, dim=16).collect()}
+        exact = {(r["a"], r["b"]) for r in
+                 embedding_near_dup_pairs_exact(df, threshold=t).collect()}
+        assert grid == exact, f"threshold {t}: grid {grid ^ exact}"
+    assert (0, 50) in exact or not exact
+
+
+def test_ngram_prefix_filter_matches_bruteforce(corpus_df, spark):
+    """Prefix filtering is an exact optimization: results must equal the
+    naive shingle self-join at every threshold."""
+    from xs_vlm_ocr_spark.operators.text_dedup import with_word_shingles
+
+    sh = with_word_shingles(corpus_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    naive = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+    )
+    for t in (0.3, 0.7):
+        want = sorted(
+            tuple(r) for r in naive
+            .filter(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= t)
+            .select("a", "b", "inter", "na", "nb").collect()
+        )
+        got = sorted(tuple(r) for r in
+                     ngram_jaccard_pairs(corpus_df, threshold=t).collect())
+        assert got == want

@@ -15,6 +15,41 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# The driver's value hash is type-aware at the Arrow level: it
+# distinguished DuckDB HUGEINT (exported as non-int64) from Spark BIGINT
+# in round 1, while plain i32-vs-i64 pairs hashed identically (round-1
+# evidence: topk_per_group/knn rank columns were green). So compare only
+# the classes that change the exported value domain: signed-int vs
+# int128 vs unsigned vs float32 vs float64 vs decimal(p,s).
+_NUM_CLASS = {
+    # spark dtypes
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "f32", "double": "f64",
+    # duckdb type names
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "i128", "UTINYINT": "uint", "USMALLINT": "uint",
+    "UINTEGER": "uint", "UBIGINT": "uint", "FLOAT": "f32", "DOUBLE": "f64",
+}
+
+
+def num_class(type_str: str):
+    t = str(type_str)
+    if t.upper().startswith("DECIMAL"):
+        return t.upper().replace(" ", "")
+    return _NUM_CLASS.get(t)
+
+
+def type_mismatches(scols, sdtypes, ocols, otypes):
+    """Column names where Spark and DuckDB numeric widths disagree."""
+    sd = {c: num_class(t) for c, t in zip(scols, sdtypes)}
+    od = {c: num_class(t) for c, t in zip(ocols, otypes)}
+    return [
+        f"{c}: spark={sd[c]} oracle={od[c]}"
+        for c in sd
+        if c in od and sd[c] != od[c] and (sd[c] or od[c])
+    ]
+
+
 def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -56,6 +91,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"[t2] {name}: SPARK ERROR {type(exc).__name__}: {exc}")
@@ -68,15 +104,20 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             ocols = [d[0] for d in res.description]
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception as exc:
             print(f"[t2] {name}: ORACLE ERROR {exc}")
             n_fail += 1
             continue
         ok_schema = sorted(scols) == sorted(ocols)
+        tmm = type_mismatches(scols, sdtypes, ocols, otypes)
         a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
         ok_vals = a == b
-        if ok_schema and ok_vals:
+        if tmm:
+            n_fail += 1
+            print(f"[t2] {name}: TYPE MISMATCH {tmm}")
+        elif ok_schema and ok_vals:
             print(f"[t2] {name}: OK ({len(srows)} rows)")
             n_pass += 1
         else:

@@ -88,6 +88,20 @@ def repartition_by_doc_length(docs: DataFrame, num_partitions: int,
     return cold.unionByName(hot).drop("byte_len")
 
 
+def fan_out_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Small-scan guard for per-row-expensive stages (shingling, MinHash
+    signatures, SimHash): a tiny parquet is one row group and scans as a
+    SINGLE partition, serializing all downstream per-row compute on one
+    core. Repartition up to the session's default parallelism ONLY when
+    the scan has fewer partitions — at production scale inputs arrive
+    with thousands of splits and this returns the input untouched (no
+    shuffle added)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_group_count(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     """groupBy(key).count() resistant to hot keys: partial agg on
     (key, salt) then final agg on key. Catalyst already does map-side

@@ -37,48 +37,106 @@ def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     Tokens are lowercase whitespace words; the shingle key is
     xxhash64(n-gram string) — an 8-byte join key instead of the string.
     """
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    df = fan_out_small_input(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    # no trailing .distinct(): array_distinct already dedups grams per
+    # doc, so (doc_id, shingle) is unique — a row-level distinct here
+    # would add a full shuffle to every consumer for nothing
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("_g"))
         .filter(F.col("_g") != "")
         .select("doc_id", F.xxhash64("_g").alias("shingle"))
-        .distinct()
     )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                         threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
-    """All doc pairs with shingle-set Jaccard >= threshold.
+    """All doc pairs with shingle-set Jaccard >= threshold — EXACT, via
+    prefix filtering (the AllPairs / PPJoin family: Bayardo et al. WWW'07,
+    Xiao et al. WWW'08 — public algorithms).
 
-    inter/(|A|+|B|-inter) with sizes from a broadcastable per-doc count.
-    a<b ordering dedups the symmetric pair. At scale the shingle join is
-    the shuffle; hot shingles (stopword grams) can be frequency-capped
-    upstream — here df sizes are modest and AQE skew-split covers it.
+    Why not a naive shingle self-join: a shingle appearing in d docs
+    contributes d^2 join rows, so stopword-like grams make the join
+    quadratic at corpus scale. Prefix filtering makes candidate
+    generation subquadratic without losing a single pair:
+
+      1. order each doc's shingles rarest-first (global doc-frequency,
+         ties by shingle hash — deterministic total order);
+      2. any pair with Jaccard >= t must share a shingle inside both
+         docs' first |x| - ceil(t*|x|) + 1 shingles (if the prefixes were
+         disjoint, the order-minimum of the intersection would lie past
+         one prefix, bounding |A∩B| <= |A| - p_A < t*|A| <= t*|A∪B|);
+      3. join ONLY prefix rows (hot shingles sort last — they almost
+         never appear in a prefix, so the d^2 blowup vanishes);
+      4. size filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t;
+      5. verify candidates EXACTLY with array_intersect on per-doc
+         shingle arrays (df=1 shingles dropped from the arrays — they
+         cannot appear in any intersection; |x| keeps the full count).
+
+    All JVM-side; every shuffle is a linear equi-join or groupBy.
     """
-    # persist: the self-join + sizes agg would otherwise recompute the
-    # shingle explode three times (ContextCleaner unpersists on GC)
+    # persist: the explode feeds both the frequency agg and the join side
     sh = with_word_shingles(df, text_col, n, id_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # doc frequency via groupBy+join (NOT a window over shingle: groupBy
+    # does map-side partial aggregation, so a stopword shingle with 10^6
+    # docs never lands in a single window partition)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # one doc_id shuffle builds sorted order, size, prefix, and the
+    # verify array together (array_sort on (_df, shingle) structs ==
+    # rarest-first deterministic total order)
+    t = F.lit(threshold)
+    docs_arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle"))).alias("_ss"))
+        .select(
+            "doc_id",
+            F.size("_ss").alias("n_sh"),
+            # df=1 shingles can never match across docs: drop them from
+            # both the prefix and the verify arrays (exactness unaffected
+            # — a shared shingle has df >= 2 by definition; n_sh keeps
+            # the full set size for the Jaccard denominator)
+            F.expr("transform(filter(_ss, s -> s._df >= 2), s -> s.shingle)").alias("_shs"),
+            F.filter(
+                F.slice(
+                    F.col("_ss"), 1,
+                    (F.size("_ss") - F.ceil(t * F.size("_ss")) + 1).cast("int"),
+                ),
+                lambda s: s["_df"] >= 2,
+            ).alias("_pref"),
+        )
+        .persist()
     )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+    pref = docs_arr.select(
+        "doc_id", "n_sh", F.explode(F.col("_pref")["shingle"]).alias("shingle")
+    )
+    a = pref.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    b = pref.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a") < F.col("b"))
+            # size filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("na") >= t * F.col("nb"))
+            & (F.col("nb") >= t * F.col("na"))
+        )
+        .select("a", "b", "na", "nb")
+        .distinct()
+    )
+    return (
+        cand.join(docs_arr.select(F.col("doc_id").alias("a"), F.col("_shs").alias("_sa")), "a")
+        .join(docs_arr.select(F.col("doc_id").alias("b"), F.col("_shs").alias("_sb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "na", "nb")
     )
-    return out
 
 
 # ------------------------------------------------------------- MinHash/LSH
@@ -124,6 +182,9 @@ def _doc_shingle_hashes(text: str, n: int) -> np.ndarray:
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_n: int = 3, seed: int = 42) -> DataFrame:
     """(doc_id, sig: array<bigint>) — vectorized pandas UDF, Arrow batched."""
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    df = fan_out_small_input(df)
     a, b = _perm_params(num_perm, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,6 +260,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """64-bit SimHash via a vectorized (numpy) pandas UDF: per unique
     token an FNV-1a/splitmix64 hash; per-bit majority vote packed into a
     long. One Arrow batch in/out — no per-row Python objects."""
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    df = fan_out_small_input(df)
 
     @F.pandas_udf("long")
     def sim(texts: pd.Series) -> pd.Series:
@@ -256,10 +320,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 # ------------------------------------------------------- embedding near-dup
 
-def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
-                             id_col: str = "vec_id", threshold: float = 0.95) -> DataFrame:
-    """Exact cosine near-dup pairs above threshold (baseline; the LSH
-    bucketed variant in operators.similarity is the scale path)."""
+def embedding_near_dup_pairs_exact(df: DataFrame, vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   threshold: float = 0.95) -> DataFrame:
+    """All-pairs exact cosine near-dup (O(N^2) — test oracle / tiny inputs
+    only; `embedding_near_dup_pairs` is the scale path)."""
     from xs_vlm_ocr_spark.operators.similarity import _dot, _norm
 
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
@@ -269,6 +334,86 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             n_axes: int = 3, dim: int | None = None,
+                             seed: int = 7) -> DataFrame:
+    """Cosine near-dup pairs via a COMPLETE eps-grid candidate join +
+    exact verify — no cartesian product anywhere in the plan.
+
+    For unit-normalized vectors, cos(x, y) >= t  <=>  ||x̂ - ŷ|| <= eps
+    with eps = sqrt(2 - 2t). Project onto `n_axes` fixed random unit
+    axes: |<x̂ - ŷ, r>| <= ||x̂ - ŷ|| <= eps, so a qualifying pair's
+    floor(proj/eps) grid cells differ by at most 1 per axis. Emitting
+    cells {c, c+1} per axis (2^n_axes keys/vector) guarantees every
+    qualifying pair shares >= 1 composite key — candidate completeness
+    is a triangle-inequality fact, not a probabilistic LSH recall. Extra
+    candidates (hash collisions, far pairs in one cell) are removed by
+    the exact cosine verify, which reuses the same double-precision
+    expression as the all-pairs baseline.
+
+    Pruning power scales with the threshold: at t=0.95 each axis has
+    ~6 cells over [-1,1]; at low t the grid degenerates gracefully to
+    few cells (still an equi-join, never a crossJoin). At 100 TB the
+    plan is: one narrow (id, key) self-equi-join -> distinct (a, b) ->
+    two hash joins back to the vectors.
+    """
+    import math
+
+    from xs_vlm_ocr_spark.operators.similarity import _dot, _norm
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else 1
+    eps = math.sqrt(max(2.0 - 2.0 * threshold, 1e-9))
+    rng = np.random.RandomState(seed)
+    axes = rng.standard_normal((n_axes, dim))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+
+    feat = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        *[
+            F.floor(
+                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in axes[j]]))
+                / F.col("_n") / F.lit(eps)
+            ).alias(f"_c{j}")
+            for j in range(n_axes)
+        ],
+    ).persist()  # persist: scanned once for keys + twice for the verify joins
+
+    # 2^n_axes composite keys per vector: every {0,1} offset combination
+    offsets = [
+        [(m >> j) & 1 for j in range(n_axes)] for m in range(1 << n_axes)
+    ]
+    keys = feat.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.xxhash64(*[F.col(f"_c{j}") + F.lit(o[j]) for j in range(n_axes)])
+                for o in offsets
+            ])
+        ).alias("_k"),
+    )
+    cand = (
+        keys.select(F.col("doc").alias("a"), "_k")
+        .join(keys.select(F.col("doc").alias("b"), "_k"), "_k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cand.join(feat.select(F.col("doc").alias("a"), F.col("_v").alias("_va"),
+                              F.col("_n").alias("_na")), "a")
+        .join(feat.select(F.col("doc").alias("b"), F.col("_v").alias("_vb"),
+                          F.col("_n").alias("_nb")), "b")
         .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b")
