@@ -247,8 +247,12 @@ def _q_knn_topk_cosine(spark, sf_dir):
 
 
 def _q_extract_flagship(spark, sf_dir):
-    """Extraction over interleaved docs — non-SQL (rows-only check);
-    the golden-span pytest fixtures are its correctness gate."""
+    """Extraction over interleaved docs. Value-checked against a parquet
+    fixture materialized from the PURE-PYTHON single-doc extractor (the
+    independent implementation the golden tests trust) over the same
+    deterministic interleave — see tools/make_flagship_fixture.py. The
+    fixture is tied to the sf0.01 input (driver compare tier); its
+    .input_md5 sidecar makes staleness diagnosable."""
     from xs_vlm_ocr_spark.operators.extraction import (
         extract_spans,
         split_extraction_output,
@@ -345,6 +349,14 @@ def _q_media_decode(spark, sf_dir):
     return decode_media_batch(media, fake=True).select(
         "media_ref", "width", "height", "mode"
     )
+
+
+def _q_prompt_templates(spark, sf_dir):
+    """Two-level prompt-template dictionary grouped in UI tab order
+    (reference ConfigManager.h:23-32, MainWindow.cpp:2470-2493)."""
+    from xs_vlm_ocr_spark import strategies as S
+
+    return S.templates_by_type(S.prompt_templates_df(spark, S.load_config()))
 
 
 def _q_strategy_inheritance(spark, sf_dir):
@@ -615,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near,
         "media_decode": _q_media_decode,
         "strategy_inheritance": _q_strategy_inheritance,
+        "prompt_templates": _q_prompt_templates,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "topk_per_group": _q_topk_per_group,
@@ -830,6 +843,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.own_key, nullif(p.api_key, ''), '') AS api_key,
                    m.enabled
             FROM models m LEFT JOIN providers p ON m.provider = p.id
+        """,
+        "extract_flagship": """
+            SELECT doc_id, kind, text, media_ref, "order"
+            FROM read_parquet('/root/repo/fixtures/flagship_expected_sf0.01.parquet')
+        """,
+        "prompt_templates": """
+            WITH t(name, content, type, category, pos) AS (VALUES
+              ('extract', 'extract main content', 'recognize', 'general', 0),
+              ('table', 'extract tables as markdown', 'recognize', 'table', 1),
+              ('formula', 'extract formulas as latex', 'recognize', 'formula', 2),
+              ('translate_en', 'translate to english', 'translate', 'general', 3),
+              ('solve', 'solve step by step', 'solve', 'general', 4),
+              ('summarize', 'organize into a summary', 'organize', 'general', 5)
+            ),
+            ord(type, type_rank) AS (VALUES
+              ('recognize', 1), ('translate', 2), ('solve', 3), ('organize', 4)
+            )
+            SELECT t.type, CAST(ord.type_rank AS INT) AS type_rank,
+                   CAST(row_number() OVER (PARTITION BY t.type ORDER BY t.pos)
+                        AS INT) AS slot,
+                   t.name, t.category,
+                   t.name || ' [' || t.category || ']' AS label,
+                   t.content
+            FROM t JOIN ord USING (type)
         """,
         "asof_join": """
             WITH clicks AS (

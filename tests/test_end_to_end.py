@@ -127,3 +127,41 @@ def test_invalid_docs_counted_in_lineage(spark, tmp_path_factory):
         (F.col("run_id") == run_id) & (F.col("stage") == "invalid")
     ).collect()
     assert len(inv) == 1 and inv[0]["docs_in"] == 3 and inv[0]["docs_out"] == 0
+
+
+def test_invalid_count_exact_under_skew_split(spark, tmp_path_factory):
+    """The invalid-doc count comes from an Observation attached below the
+    validity filter and is collected in the SAME pass as the extraction
+    (no second input scan). If the skew split's cold/hot branches ever
+    re-executed the observed subtree, the count would double — so force
+    the skewed path (giant docs >> median) and require the exact count."""
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.operators.skew import doc_length_stats
+    from xs_vlm_ocr_spark.schemas import DOCS_SCHEMA
+
+    tiny = [
+        {"doc_id": f"t{i}", "spans": [{"kind": "text", "text": "ab",
+                                       "media_ref": "", "offset": 0}]}
+        for i in range(60)
+    ]
+    giant = [
+        {"doc_id": f"g{i}", "spans": [{"kind": "text", "text": "x" * 20000,
+                                       "media_ref": "", "offset": 0}]}
+        for i in range(3)
+    ]
+    bad = [{"doc_id": f"bad{i}", "spans": []} for i in range(5)]
+    docs = spark.createDataFrame(tiny + giant + bad, DOCS_SCHEMA)
+
+    # precondition: this corpus must actually trigger the skew branch
+    med, thr = doc_length_stats(docs, sample_fraction=1.0)
+    assert thr / med >= 10.0
+
+    job = ExtractionJob(str(tmp_path_factory.mktemp("job_skew_inv")),
+                        skew_sample_fraction=1.0)
+    run_id = job.run(spark, docs)
+    inv = job.read_lineage(spark).filter(
+        (F.col("run_id") == run_id) & (F.col("stage") == "invalid")
+    ).collect()
+    assert len(inv) == 1 and inv[0]["docs_in"] == 5  # exact, not doubled
+    assert job.read_results(spark).count() == 63

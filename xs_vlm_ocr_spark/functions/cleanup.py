@@ -19,11 +19,9 @@ def glm_cleanup_chain(col: Column) -> Column:
     out = F.trim(out)
     out = F.regexp_replace(out, r"^:", "")
     out = F.trim(out)
-    # wrapping quotes only when both ends are quoted
-    out = F.when(
-        out.startswith('"') & out.endswith('"') & (F.length(out) >= 2),
-        F.expr(f"substring({'_c_'}, 2, length({'_c_'}) - 2)"),
-    ).otherwise(out) if False else F.regexp_replace(out, r'^"(.*)"$', r"$1")
+    # wrapping quotes stripped only when both ends are quoted (anchored
+    # regex — a lone leading or trailing quote is left intact)
+    out = F.regexp_replace(out, r'^"(.*)"$', r"$1")
     out = F.regexp_replace(out, r",$", "")
     return F.trim(out)
 

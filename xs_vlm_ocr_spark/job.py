@@ -25,7 +25,6 @@ from xs_vlm_ocr_spark.operators.dedup import filter_uncached
 from xs_vlm_ocr_spark.operators.extraction import (
     DEFAULT_MODEL,
     extract_spans,
-    invalid_docs,
     split_extraction_output,
     valid_docs,
     with_content_hash,
@@ -45,11 +44,31 @@ class ExtractionJob:
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
 
     def plan(self, spark: SparkSession, docs: DataFrame,
-             target_partitions: int | None = None) -> DataFrame:
-        """The lazy extraction plan (no write): docs -> combined output."""
+             target_partitions: int | None = None,
+             observation=None) -> DataFrame:
+        """The lazy extraction plan (no write): docs -> combined output.
+
+        ``observation``: optional pyspark Observation attached BELOW the
+        validity filter — the invalid-doc count is collected in the same
+        pass as the extraction (no second scan of the input; reference
+        skip counting, MainWindow.cpp:1361-1375). The skew split's
+        cold/hot branches sit above the dropDuplicates exchange, so the
+        observed subtree executes exactly once (ReusedExchange)."""
         from xs_vlm_ocr_spark.operators.skew import doc_length_stats
 
         n_parts = target_partitions or spark.sparkContext.defaultParallelism * 3
+        if observation is not None:
+            docs = docs.observe(
+                observation,
+                F.sum(
+                    F.when(
+                        F.col("doc_id").isNull()
+                        | F.col("spans").isNull()
+                        | (F.size("spans") <= 0),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_invalid"),
+            )
         valid = valid_docs(docs)
         # skew stats from the cheap raw scan (the quantile pass is an
         # action — computing it on the post-anti-join plan would run the
@@ -69,8 +88,11 @@ class ExtractionJob:
             fail_after_staging: bool = False) -> str:
         """Execute + commit one run; returns run_id. ``fail_after_staging``
         simulates a crash between write and commit (resume tests)."""
+        from pyspark.sql import Observation
+
         run_id = run_id or uuid.uuid4().hex[:12]
-        combined = self.plan(spark, docs, target_partitions)
+        obs = Observation(f"invalid_{run_id}")
+        combined = self.plan(spark, docs, target_partitions, observation=obs)
 
         # Single pass over the extraction: stage the combined output once,
         # then split results/lineage from the staged parquet (cheap scans).
@@ -86,8 +108,9 @@ class ExtractionJob:
             "stage", F.lit("extract")
         ).select([f.name for f in LINEAGE_SCHEMA.fields])
         # invalid rows are routed, never silently dropped (reference skip
-        # counting, MainWindow.cpp:1361-1375): recorded as a lineage row
-        n_invalid = invalid_docs(docs).count()
+        # counting, MainWindow.cpp:1361-1375): counted by the Observation
+        # in the staging pass — NO second scan of the input
+        n_invalid = int(obs.get["n_invalid"] or 0)
         if n_invalid:
             inv_row = spark.createDataFrame(
                 [(run_id, "invalid", -1, n_invalid, 0, 0, 0)], LINEAGE_SCHEMA

@@ -35,8 +35,6 @@ def export_csv(results: DataFrame, out_dir: str, columns: list[str] | None = Non
     df = results.select(*(columns or results.columns))
     # flatten non-atomic columns to JSON so the CSV stays rectangular
     for f in df.schema.fields:
-        if not isinstance(f.dataType, type(f.dataType)) or f.dataType.typeName() in (
-            "array", "struct", "map",
-        ):
+        if f.dataType.typeName() in ("array", "struct", "map"):
             df = df.withColumn(f.name, F.to_json(F.col(f.name)))
     df.write.mode("overwrite").option("header", True).option("escape", '"').csv(out_dir)

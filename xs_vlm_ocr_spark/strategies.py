@@ -49,10 +49,27 @@ DEFAULT_CONFIG = {
          "engine": "passthrough", "provider": "local", "params": {}, "enabled": True},
     ],
     "prompt_templates": [
+        # two-level categorical dictionary (reference PromptTemplate,
+        # ConfigManager.h:23-32: type 识别/翻译/解答/整理 -> recognize/
+        # translate/solve/organize; category 通用/表格/公式 -> general/
+        # table/formula)
         {"name": "extract", "content": "extract main content", "type": "recognize",
+         "category": "general"},
+        {"name": "table", "content": "extract tables as markdown", "type": "recognize",
+         "category": "table"},
+        {"name": "formula", "content": "extract formulas as latex", "type": "recognize",
+         "category": "formula"},
+        {"name": "translate_en", "content": "translate to english", "type": "translate",
+         "category": "general"},
+        {"name": "solve", "content": "solve step by step", "type": "solve",
+         "category": "general"},
+        {"name": "summarize", "content": "organize into a summary", "type": "organize",
          "category": "general"},
     ],
 }
+
+# fixed main-type tab order (reference MainWindow.cpp:2470 typeOrder)
+TEMPLATE_TYPES = ["recognize", "translate", "solve", "organize"]
 
 
 def load_config(path: str | None = None) -> dict:
@@ -107,6 +124,58 @@ def inherit_provider_params(models: DataFrame, providers: DataFrame) -> DataFram
             ),
         ),
     ).drop("_p_host", "_p_key")
+
+
+def prompt_templates_df(spark: SparkSession, config: dict) -> DataFrame:
+    """Prompt-template dimension table (reference PromptTemplate,
+    ConfigManager.h:23-32). ``pos`` preserves config insertion order;
+    a missing/empty type defaults to 'recognize' (ConfigManager.cpp:316
+    defaults to 识别)."""
+    rows = [
+        (
+            t.get("name"), t.get("content"),
+            (t.get("type") or "recognize"), (t.get("category") or "general"),
+            i,
+        )
+        for i, t in enumerate(config.get("prompt_templates", []))
+    ]
+    return spark.createDataFrame(
+        rows, "name string, content string, type string, category string, pos int"
+    )
+
+
+def templates_by_type(templates: DataFrame,
+                      type_order: list[str] | None = None) -> DataFrame:
+    """The UI's grouped-template query (reference MainWindow.cpp:
+    2470-2493): fixed main-type tab order, insertion order within a
+    type, display label 'name [category]'."""
+    from pyspark.sql import Window
+
+    order = type_order or TEMPLATE_TYPES
+    type_rank = F.array_position(
+        F.array(*[F.lit(t) for t in order]), F.col("type")
+    ).cast("int")
+    w = Window.partitionBy("type").orderBy("pos")
+    return (
+        templates.filter(F.col("type").isin(order))
+        .withColumn("type_rank", type_rank)
+        .withColumn("slot", F.row_number().over(w))
+        .withColumn(
+            "label",
+            F.concat(F.col("name"), F.lit(" ["), F.col("category"), F.lit("]")),
+        )
+        .select("type", "type_rank", "slot", "name", "category", "label", "content")
+    )
+
+
+def find_template(templates: DataFrame, type_: str,
+                  category: str | None = None) -> DataFrame:
+    """Point lookup by main type (and optional sub-category), first by
+    insertion order — the template the UI would apply on click."""
+    out = templates.filter(F.col("type") == type_)
+    if category is not None:
+        out = out.filter(F.col("category") == category)
+    return out.orderBy("pos").limit(1)
 
 
 def enabled_strategies(models: DataFrame) -> DataFrame:

@@ -84,12 +84,18 @@ class CheckpointedTable:
             self.abandon(r)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        """DataFrame over committed runs only; None when table is empty."""
+        """DataFrame over committed runs only; None when table is empty.
+
+        mergeSchema: schema evolution across snapshots — a run appended
+        with an added column reads as the UNION schema (older rows null
+        for the new column) instead of silently dropping it. Reference
+        analogue: in-place store migration, ALTER TABLE history ADD
+        COLUMN content_hash (HistoryManager.cpp:70-77)."""
         dirs = [self.run_dir(r) for r in self.committed_runs()]
         dirs = [d for d in dirs if os.path.exists(d)]
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read_or_empty(self, spark: SparkSession) -> DataFrame:
         df = self.read(spark)
