@@ -89,3 +89,24 @@ def test_export_sinks_roundtrip(spark, tmp_path):
     got = {r["doc_id"]: r["full_text"] for r in back.collect()}
     assert got["d1"] == 'text with "quotes", commas\nand a newline'
     assert got["d2"] == "plain"
+
+
+def test_export_csv_bom(spark, tmp_path):
+    """UTF-8 BOM parity (reference MainWindow.cpp:1878): every part file
+    starts with EF BB BF and round-trips identically."""
+    import glob
+
+    from xs_vlm_ocr_spark.sinks import export_csv
+
+    df = spark.createDataFrame(
+        [("a", 'quo"te'), ("b", "unié")], "k string, v string"
+    )
+    out = str(tmp_path / "csv_bom")
+    export_csv(df, out, bom=True)
+    parts = glob.glob(out + "/part-*.csv")
+    assert parts
+    for p in parts:
+        with open(p, "rb") as fh:
+            assert fh.read(3) == b"\xef\xbb\xbf"
+    back = spark.read.option("header", True).option("escape", '"').csv(out)
+    assert {tuple(r) for r in back.collect()} == {("a", 'quo"te'), ("b", "unié")}

@@ -2,11 +2,19 @@
 
 No real multi-executor cluster exists here, so per BASELINE.md §(c) the
 same extraction job runs on the same input at two local parallelism
-levels — local[8] (N) and local[32] (4N), shuffle partitions scaled
-proportionally — each in a fresh JVM subprocess; docs/sec is the median
-of 3 timed runs after a warmup. Writes BENCH/BASELINE.md.
+levels — standing in for N and 4N executors. Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_docs]
+PAIRED-INTERLEAVED protocol (v2): this host shows minute-scale external
+load drift (identical runs vary up to 12x minutes apart), so measuring
+the two levels in separate, minutes-apart processes is noise-dominated.
+Instead both JVMs are kept alive simultaneously (each idle while the
+other runs) and timed runs ALTERNATE back-to-back: N, 4N, N, 4N, ... —
+every efficiency pair is measured seconds apart under near-identical
+host conditions. Reported: per-pair efficiencies, their median, and the
+best-vs-best ratio; host loadavg is recorded per run so interference is
+visible in the table, not hidden.
+
+Usage: python tools/bench_scaling.py [n_docs] [n_pairs]
 """
 
 from __future__ import annotations
@@ -22,13 +30,15 @@ WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+import os
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 from xs_vlm_ocr_spark.session import get_spark
 from xs_vlm_ocr_spark.corpus import gen_docs_df
 from xs_vlm_ocr_spark.operators.extraction import (
     extract_spans, split_extraction_output, valid_docs, with_content_hash)
 from xs_vlm_ocr_spark.operators.skew import repartition_by_doc_length
 
-spark = get_spark("bench_scaling", cores=cores, shuffle_partitions=cores)
+spark = get_spark(f"bench_scaling_{cores}", cores=cores, shuffle_partitions=cores)
 docs = gen_docs_df(spark, n_docs).persist()
 assert docs.count() == n_docs
 
@@ -40,56 +50,127 @@ def run_once():
     assert n == n_docs
     return time.monotonic() - t0
 
-run_once()  # warmup: JVM JIT + python worker pool spin-up
-times = sorted(run_once() for _ in range(5))
-best = times[0]
-print(json.dumps({"cores": cores, "median_sec": times[len(times)//2], "best_sec": best, "times": times,
-                  "docs_per_sec": n_docs / best}))
+print("READY", flush=True)
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "run":
+        sec = run_once()
+        load = open("/proc/loadavg").read().split()[0]
+        print(json.dumps({"sec": sec, "load": load}), flush=True)
+    elif cmd == "quit":
+        break
 """
 
 
-def measure(cores: int, n_docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cores), str(n_docs)],
-        capture_output=True, text=True, timeout=3600, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+class Worker:
+    def __init__(self, cores: int, n_docs: int) -> None:
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", WORKER % {"repo": REPO},
+             str(cores), str(n_docs)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+        )
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker local[{cores}] died during startup")
+            if line.strip() == "READY":
+                break
+
+    def run(self) -> dict:
+        self.proc.stdin.write("run\n")
+        self.proc.stdin.flush()
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker local[{self.cores}] died mid-run")
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int) -> dict:
+    wl, wh = Worker(n, n_docs), Worker(n4, n_docs)
+    try:
+        wl.run(); wh.run()  # warmup: JVM JIT + python worker pool spin-up
+        lows, highs = [], []
+        for _ in range(n_pairs):
+            lows.append(wl.run())
+            highs.append(wh.run())
+    finally:
+        wl.quit(); wh.quit()
+    pair_effs = [lo["sec"] / hi["sec"] / 4.0 for lo, hi in zip(lows, highs)]
+    best_lo = min(r["sec"] for r in lows)
+    best_hi = min(r["sec"] for r in highs)
+    return {
+        "n": n, "n4": n4, "n_docs": n_docs,
+        "lows": lows, "highs": highs, "pair_effs": pair_effs,
+        "median_eff": sorted(pair_effs)[len(pair_effs) // 2],
+        "best_eff": best_lo / best_hi / 4.0,
+        "low_dps": n_docs / best_lo, "high_dps": n_docs / best_hi,
+    }
+
+
+def _fmt_runs(rows: list[dict]) -> str:
+    return ", ".join(f'{r["sec"]:.2f} (load {r["load"]})' for r in rows)
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    pairs = [(2, 8, n_docs // 2), (8, 32, n_docs)]
-    rows, effs = [], []
-    for n, n4, nd in pairs:
-        rl = measure(n, nd)
-        rh = measure(n4, nd)
-        eff = rh["docs_per_sec"] / (4 * rl["docs_per_sec"])
-        effs.append((n, n4, nd, eff))
-        for label, r in ((f"local[{n}]  (N)", rl), (f"local[{n4}] (4N)", rh)):
-            rows.append(
-                f'| {label} @ {nd} docs | {r["best_sec"]:.2f} | '
-                f'{r["docs_per_sec"]:.1f} | '
-                f'{", ".join(f"{t:.2f}" for t in r["times"])} |'
-            )
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    results = [
+        measure_pair(2, 8, n_docs // 2, n_pairs),
+        measure_pair(8, 32, n_docs, n_pairs),
+    ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     eff_lines = "\n".join(
-        f"- **N={n} -> 4N={n4}** ({nd} docs): efficiency = **{e:.3f}** "
-        f"({'PASS' if e >= 0.8 else 'FAIL'} vs the 0.8 target)"
-        for n, n4, nd, e in effs
+        f'- **N={r["n"]} -> 4N={r["n4"]}** ({r["n_docs"]} docs): '
+        f'median paired efficiency = **{r["median_eff"]:.3f}** '
+        f'({"PASS" if r["median_eff"] >= 0.8 else "FAIL"} vs the 0.8 target); '
+        f'best-vs-best = {r["best_eff"]:.3f}; per-pair '
+        f'[{", ".join(f"{e:.2f}" for e in r["pair_effs"])}]'
+        for r in results
     )
+    rows = []
+    for r in results:
+        rows.append(
+            f'| local[{r["n"]}]  (N) @ {r["n_docs"]} docs | '
+            f'{min(x["sec"] for x in r["lows"]):.2f} | {r["low_dps"]:.1f} | '
+            f'{_fmt_runs(r["lows"])} |'
+        )
+        rows.append(
+            f'| local[{r["n4"]}] (4N) @ {r["n_docs"]} docs | '
+            f'{min(x["sec"] for x in r["highs"]):.2f} | {r["high_dps"]:.1f} | '
+            f'{_fmt_runs(r["highs"])} |'
+        )
     table = "\n".join(rows)
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
-Protocol (BASELINE.md §c): the same extraction job on the same
-deterministic corpus (seed=42) at two parallelism levels standing in
-for N and 4N executors; fresh JVM per level, best of 5 timed runs after
-a warmup run (steady state — the long-running-job regime the north rule
-targets). Two N->4N pairs are reported because this sandbox is a single
-32-core socket:
+Protocol (BASELINE.md §c, v2 paired-interleaved): the same extraction
+job on the same deterministic corpus (seed=42) at two parallelism
+levels standing in for N and 4N executors. Both JVMs stay alive for the
+whole measurement (each idle while the other runs) and timed runs
+alternate back-to-back — N, 4N, N, 4N, ... — so every efficiency pair
+is measured seconds apart under near-identical host conditions. This
+replaced the sequential protocol because the sandbox VM shows
+minute-scale external load drift (identical runs vary up to 12x minutes
+apart; the per-run loadavg column below makes interference visible).
+One warmup run per level precedes timing (cold generated-code runs are
+up to 20x slower than JIT-warm steady state — the long-running-job
+regime the north rule targets).
 
 {eff_lines}
 
-| parallelism | best sec | docs/sec | runs (sec) |
+| parallelism | best sec | docs/sec | runs sec (host loadavg before) |
 |---|---|---|---|
 {table}
 
@@ -99,9 +180,7 @@ html parsing) contend for the same memory bus, which a real 4N-executor
 cluster does not do — executors scale across nodes, each with its own
 memory subsystem. The 2->8 pair measures the same job in the
 low-contention regime and is the closer stand-in for multi-node
-scaling. Both are reported unedited, along with all raw run times —
-this sandbox VM also shows minute-scale external noise (occasional 3-6x
-outlier runs at identical code and data; see the runs columns).
+scaling. Both are reported unedited with all raw run times and loads.
 
 Reference throughput context: the reference tool's batch mode holds 4
 requests in flight against remote OCR/VLM services (~1 s/doc best case,
@@ -116,7 +195,14 @@ adds zero shuffle when sampled stats show no skew.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"pairs": [(n, n4, nd, round(e, 3)) for n, n4, nd, e in effs]}))
+    print(json.dumps({
+        "pairs": [
+            {"n": r["n"], "n4": r["n4"], "n_docs": r["n_docs"],
+             "median_eff": round(r["median_eff"], 3),
+             "best_eff": round(r["best_eff"], 3)}
+            for r in results
+        ]
+    }))
 
 
 if __name__ == "__main__":

@@ -68,11 +68,21 @@ def with_content_hash(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataF
     )
 
 
-def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame:
+def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
+                  timeout_ms: int | None = None) -> DataFrame:
     """docs(doc_id, spans[, content_hash]) -> EXTRACTION_OUTPUT rows.
 
     Output carries one row per doc plus one trailing lineage marker row
     per partition (doc_id NULL); split with ``split_extraction_output``.
+
+    ``timeout_ms``: per-doc wall budget (reference C5 — the adapters'
+    request timeout, e.g. QwenAdapter's network timeout). A doc whose
+    extraction exceeds the budget is routed as an error row
+    (success=false, error 'timeout: ...'), exactly like the reference
+    discarding a late response — never thrown, never silently dropped.
+    Spark analogue of the hard-kill side: task-level speculative
+    execution / spark.task.reaper on a real cluster; in-process the
+    extractor is a pure function so a soft budget suffices.
 
     Serde strategy (measured ~40% of stage time otherwise): the
     array-of-struct spans column crosses the Arrow boundary as four
@@ -130,6 +140,13 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataFrame
                     out = extract_fn(spans)
                     full = merge_full_text(out)
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
+                    if timeout_ms is not None and elapsed > timeout_ms:
+                        rows.append(
+                            (doc_id, False,
+                             f"timeout: {elapsed} ms > budget {timeout_ms} ms",
+                             [], [], [], "", model_name, chash, elapsed, None)
+                        )
+                        continue
                     docs_out += 1
                     span_count += len(out)
                     rows.append(
