@@ -307,13 +307,15 @@ def _q_bpe_token_count(spark, sf_dir):
 
 
 def _q_fingerprint_dedup(spark, sf_dir):
-    """xxhash64 fingerprint groups — rows-only (no xxhash64 in DuckDB);
-    value-level determinism is covered by tests."""
-    from xs_vlm_ocr_spark.operators.text_analysis import fingerprint64
+    """Fingerprint dedup groups, oracle-checked via the md5-derived
+    portable fingerprint (same dedup semantics as the xxhash64 default,
+    which DuckDB can't replicate; the xxhash64 path is pinned by
+    tests/test_text_analysis determinism tests)."""
+    from xs_vlm_ocr_spark.operators.text_analysis import fingerprint64_md5
 
     docs = _doc_table(spark, sf_dir, "documents")
     return (
-        docs.withColumn("fp", fingerprint64(F.col("text")))
+        docs.withColumn("fp", fingerprint64_md5(F.col("text")))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
     )
@@ -818,6 +820,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))
                      AS n_bpe
             FROM documents
+        """,
+        "fingerprint_dedup": """
+            SELECT CAST(('0x' || substr(
+                     md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 15))
+                   AS BIGINT) AS fp,
+                   count(*) AS n, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
         """,
         "media_decode": """
             SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--model", default="main_content_v1")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--timeout-ms", type=int, default=None,
+                    help="per-doc wall budget; over-budget docs become error rows")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,7 +38,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     docs = spark.read.parquet(args.input)
-    job = ExtractionJob(args.output, model_name=args.model)
+    job = ExtractionJob(args.output, model_name=args.model,
+                        timeout_ms=args.timeout_ms)
     run_id = job.run(spark, docs, run_id=args.run_id, target_partitions=args.partitions)
 
     results = job.read_results(spark)

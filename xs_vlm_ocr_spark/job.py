@@ -36,10 +36,12 @@ from xs_vlm_ocr_spark.table_io import CheckpointedTable
 
 class ExtractionJob:
     def __init__(self, out_dir: str, model_name: str = DEFAULT_MODEL,
-                 skew_sample_fraction: float = 0.05) -> None:
+                 skew_sample_fraction: float = 0.05,
+                 timeout_ms: int | None = None) -> None:
         self.out_dir = out_dir
         self.model_name = model_name
         self.skew_sample_fraction = skew_sample_fraction
+        self.timeout_ms = timeout_ms  # per-doc wall budget (C5)
         self.results = CheckpointedTable(os.path.join(out_dir, "results"))
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
 
@@ -81,7 +83,7 @@ class ExtractionJob:
         # equal hash are byte-identical, so any winner is deterministic
         jobs = jobs.dropDuplicates(["content_hash"])
         jobs = repartition_by_doc_length(jobs, n_parts, stats=stats)
-        return extract_spans(jobs, self.model_name)
+        return extract_spans(jobs, self.model_name, timeout_ms=self.timeout_ms)
 
     def run(self, spark: SparkSession, docs: DataFrame,
             run_id: str | None = None, target_partitions: int | None = None,

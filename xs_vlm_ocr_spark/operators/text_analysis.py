@@ -81,5 +81,17 @@ def quality_score(text: Column) -> Column:
 
 def fingerprint64(text: Column) -> Column:
     """64-bit content fingerprint of normalized text (xxhash64 of the
-    whitespace-canonical form) — the cheap exact-dup key."""
+    whitespace-canonical form) — the cheap exact-dup key. Fastest
+    (native JVM hash); not portable to DuckDB, covered by tests."""
     return F.xxhash64(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def fingerprint64_md5(text: Column) -> Column:
+    """Portable 64-bit fingerprint: first 60 bits of md5 of the same
+    whitespace-canonical form, as a signed BIGINT. Identical dedup
+    semantics to fingerprint64 (both are uniform content hashes) but
+    reproducible in any engine with md5 — DuckDB oracle:
+    CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT). 15 hex digits
+    keep the value inside the positive BIGINT range on both sides."""
+    canon = F.regexp_replace(F.trim(text), r"\s+", " ")
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
