@@ -22,9 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# corpus sized to the sf tier: sf0.1 -> 20k interleaved docs
+# corpus sized to the sf tier: sf0.1 -> 50k interleaved docs (big enough
+# that per-job fixed overhead (~1.5-2 s: scheduling, Arrow setup, python
+# worker comm) doesn't dominate the docs/sec number)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(200_000 * _SF))))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(500_000 * _SF))))
 
 
 def _extract_bench(spark) -> tuple[float, int]:

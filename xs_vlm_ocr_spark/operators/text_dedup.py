@@ -103,10 +103,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
             # — a shared shingle has df >= 2 by definition; n_sh keeps
             # the full set size for the Jaccard denominator)
             F.expr("transform(filter(_ss, s -> s._df >= 2), s -> s.shingle)").alias("_shs"),
+            # prefix entries keep their 1-based position in the FULL
+            # sorted set (needed by the positional filter below), then
+            # drop df=1 entries
             F.filter(
-                F.slice(
-                    F.col("_ss"), 1,
-                    (F.size("_ss") - F.ceil(t * F.size("_ss")) + 1).cast("int"),
+                F.zip_with(
+                    F.slice(
+                        F.col("_ss"), 1,
+                        (F.size("_ss") - F.ceil(t * F.size("_ss")) + 1).cast("int"),
+                    ),
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            (F.size("_ss") - F.ceil(t * F.size("_ss")) + 1).cast("int"),
+                            F.lit(1),
+                        ),
+                    ),
+                    lambda s, i: F.struct(
+                        s["_df"].alias("_df"), s["shingle"].alias("shingle"),
+                        i.alias("rk"),
+                    ),
                 ),
                 lambda s: s["_df"] >= 2,
             ).alias("_pref"),
@@ -114,10 +130,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
         .persist()
     )
     pref = docs_arr.select(
-        "doc_id", "n_sh", F.explode(F.col("_pref")["shingle"]).alias("shingle")
-    )
-    a = pref.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
-    b = pref.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+        "doc_id", "n_sh", F.explode("_pref").alias("_p")
+    ).select("doc_id", "n_sh", F.col("_p.shingle").alias("shingle"),
+             F.col("_p.rk").alias("rk"))
+    a = pref.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"),
+                    F.col("rk").alias("rka"), "shingle")
+    b = pref.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"),
+                    F.col("rk").alias("rkb"), "shingle")
+    # positional filter (PPJoin): at a shared shingle at positions
+    # (rka, rkb), overlap <= 1 + min(na - rka, nb - rkb); a qualifying
+    # pair needs overlap >= ceil(t/(1+t) * (na+nb)) and always survives
+    # at its order-minimal shared prefix shingle
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
+    ubound = F.lit(1) + F.least(F.col("na") - F.col("rka"), F.col("nb") - F.col("rkb"))
     cand = (
         a.join(b, "shingle")
         .filter(
@@ -125,6 +150,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
             # size filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("na") >= t * F.col("nb"))
             & (F.col("nb") >= t * F.col("na"))
+            & (ubound >= alpha)
         )
         .select("a", "b", "na", "nb")
         .distinct()
