@@ -322,19 +322,26 @@ def _q_fingerprint_dedup(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    from xs_vlm_ocr_spark.operators.text_dedup import minhash_lsh_pairs
+    """Banded MinHash LSH, oracle-checked end-to-end via the portable
+    md5-derived hash family (minhash_lsh_pairs_portable). The
+    vectorized pandas-UDF path (xxhash/blake2b, num_perm=64) is the
+    high-num_perm default, pinned by planted-dup + determinism tests."""
+    from xs_vlm_ocr_spark.operators.text_dedup import minhash_lsh_pairs_portable
 
     docs = _doc_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_perm=64, bands=16).filter(
+    return minhash_lsh_pairs_portable(docs, num_perm=16, bands=4).filter(
         F.col("est_jaccard") >= 0.5
     )
 
 
 def _q_simhash_near(spark, sf_dir):
-    from xs_vlm_ocr_spark.operators.text_dedup import simhash_near_pairs
+    """SimHash near-pairs, oracle-checked end-to-end via the portable
+    md5-derived 60-bit hash (simhash_near_pairs_portable); the
+    vectorized numpy-UDF default is pinned by planted-dup tests."""
+    from xs_vlm_ocr_spark.operators.text_dedup import simhash_near_pairs_portable
 
     docs = _doc_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=3, bands=4)
+    return simhash_near_pairs_portable(docs, max_hamming=3, bands=4)
 
 
 def _q_media_decode(spark, sf_dir):
@@ -760,6 +767,87 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY qid
                                       ORDER BY dot/(nq*nn) DESC, nid) AS knn_rank
             FROM pairs QUALIFY knn_rank <= 10
+        """,
+        "simhash_near_pairs": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok AS g
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            ),
+            th AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, p.j AS j,
+                     CASE WHEN 2 * sum((h >> p.j) & 1) > count(*)
+                          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS v
+              FROM th, LATERAL (SELECT unnest(range(0, 60)) AS j) AS p
+              GROUP BY doc_id, p.j
+            ),
+            fps AS (
+              SELECT doc_id,
+                     sum(v << j) AS simhash,
+                     CAST(j // 15 AS INT) AS band,
+                     sum(v << (j % 15)) AS chunk
+              FROM votes GROUP BY doc_id, j // 15
+            ),
+            tot AS (
+              SELECT doc_id, sum(v << j) AS simhash FROM votes GROUP BY doc_id
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM fps x JOIN fps y USING (band, chunk)
+              WHERE x.doc_id < y.doc_id
+            )
+            SELECT c.a, c.b,
+                   CAST(bit_count(xor(ta.simhash, tb.simhash)) AS INT) AS hamming
+            FROM cand c
+            JOIN tot ta ON ta.doc_id = c.a
+            JOIN tot tb ON tb.doc_id = c.b
+            WHERE bit_count(xor(ta.simhash, tb.simhash)) <= 3
+        """,
+        "minhash_lsh_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            mins AS (
+              SELECT doc_id, p.i AS i,
+                     min(CAST(('0x' || substr(
+                           md5(CAST(p.i AS VARCHAR) || '|' || g), 1, 15))
+                         AS BIGINT)) AS m
+              FROM grams, LATERAL (SELECT unnest(range(0, 16)) AS i) AS p
+              GROUP BY doc_id, p.i
+            ),
+            buckets AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM buckets x JOIN buckets y USING (band, bucket)
+              WHERE x.doc_id < y.doc_id
+            )
+            SELECT c.a, c.b,
+                   CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+                     / 16.0 AS est_jaccard
+            FROM cand c
+            JOIN mins ma ON ma.doc_id = c.a
+            JOIN mins mb ON mb.doc_id = c.b AND mb.i = ma.i
+            GROUP BY c.a, c.b
+            HAVING CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+                     / 16.0 >= 0.5
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -137,3 +137,25 @@ def test_ngram_prefix_filter_matches_bruteforce(corpus_df, spark):
         got = sorted(tuple(r) for r in
                      ngram_jaccard_pairs(corpus_df, threshold=t).collect())
         assert got == want
+
+
+def test_portable_minhash_finds_planted(corpus_df):
+    """md5-hash-family variant (the oracle-checked contract query) finds
+    the same planted dups as the vectorized default."""
+    from xs_vlm_ocr_spark.operators.text_dedup import minhash_lsh_pairs_portable
+
+    got = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in minhash_lsh_pairs_portable(corpus_df, num_perm=16,
+                                               bands=4).collect()}
+    assert got.get(("d900", "d902"), 0) == 1.0
+    assert got.get(("d000", "d900"), 0) == 1.0
+    assert got.get(("d900", "d901"), 0) > 0.5
+
+
+def test_portable_simhash_finds_planted(corpus_df):
+    from xs_vlm_ocr_spark.operators.text_dedup import simhash_near_pairs_portable
+
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_near_pairs_portable(corpus_df, max_hamming=3).collect()}
+    assert pairs.get(("d900", "d902")) == 0
+    assert pairs.get(("d000", "d900")) == 0

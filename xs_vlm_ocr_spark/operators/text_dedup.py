@@ -165,6 +165,104 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     )
 
 
+def with_word_gram_strings(df: DataFrame, text_col: str = "text", n: int = 3,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Like with_word_shingles but keeps the gram STRING (doc_id, g) —
+    for operators whose hashing must be oracle-portable (md5)."""
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    df = fan_out_small_input(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("g"))
+        .filter(F.col("g") != "")
+    )
+
+
+def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", num_perm: int = 16,
+                               bands: int = 4, n: int = 3) -> DataFrame:
+    """Oracle-portable banded MinHash LSH — ALL JVM-side, no Python.
+
+    Identical algorithm to minhash_lsh_pairs (signature -> bands ->
+    bucket equi-join -> per-pair Jaccard estimate), but every hash is
+    md5-derived so DuckDB can reproduce the exact values:
+
+      h_i(g)   = CAST(first 15 hex chars of md5('<i>|' || g) AS BIGINT)
+      sig[i]   = min over the doc's distinct word n-grams of h_i(g)
+      bucket   = md5 of the comma-joined band slice of sig
+      pairs    = docs sharing any (band, bucket), a < b
+      est      = fraction of equal signature positions (k/num_perm,
+                 exact in binary -> bit-stable across engines)
+
+    Trade-off vs the default: num_perm md5 calls per gram instead of one
+    vectorized xxhash pipeline — heavier per row but fully codegen'd
+    (often competitive with the Arrow round-trip at moderate num_perm).
+    The pandas-UDF path stays the high-num_perm default; THIS variant is
+    what the driver contract value-checks end-to-end.
+    """
+    grams = with_word_gram_strings(df, text_col, n, id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("g"))), 1, 15), 16, 10
+    ).cast("long")
+    mins = (
+        grams.select(
+            "doc_id", "g",
+            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("i"),
+        )
+        .select("doc_id", "i", h.alias("h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("m"))
+    )
+    sig = (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
+        .select("doc_id", F.expr("transform(_sm, s -> s.m)").alias("sig"))
+        .persist()  # feeds the banding explode AND both est sides
+    )
+    rows = num_perm // bands
+    banded = sig.select(
+        "doc_id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda m: m.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
+                      "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
+                      "band", "bucket")
+    est = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("est_jaccard", est)
+        .groupBy("a", "b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+
+
 # ------------------------------------------------------------- MinHash/LSH
 
 _MERSENNE = (1 << 61) - 1
@@ -276,6 +374,78 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .withColumn("est_jaccard", est)
         .groupBy("a", "b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def simhash_near_pairs_portable(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", max_hamming: int = 3,
+                                bands: int = 4, n_bits: int = 60) -> DataFrame:
+    """Oracle-portable SimHash near-pair detection — ALL JVM-side.
+
+    Same algorithm as simhash_near_pairs (per-token hash -> per-bit
+    majority vote -> pigeonhole banding -> exact Hamming verify) with
+    md5-derived 60-bit token hashes so DuckDB reproduces every value:
+
+      h(tok)  = CAST(first 15 hex chars of md5(tok) AS BIGINT)  (60 bits)
+      bit j   = (h >> j) & 1 over the doc's DISTINCT tokens
+      v_j     = majority vote (2*sum > n_tokens)
+      chunks  = `bands` equal bit-slices of the fingerprint; by
+                pigeonhole any pair with Hamming <= bands-1 shares an
+                exact chunk
+      verify  = bit_count(fp_a XOR fp_b) <= max_hamming
+
+    Requires max_hamming <= bands - 1 for completeness (same contract
+    as the default operator)."""
+    assert n_bits % bands == 0 and max_hamming <= bands - 1
+    width = n_bits // bands
+    toks = with_word_gram_strings(df, text_col, n=1, id_col=id_col)
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = (
+        th.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+            F.expr("shiftright(h, j) & 1").alias("bit"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            (F.lit(2) * F.sum("bit") > F.count(F.lit(1))).cast("long").alias("v")
+        )
+    )
+    fps = votes.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(v, j)")).alias("simhash"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("j") >= b * width) & (F.col("j") < (b + 1) * width),
+                    F.expr(f"shiftleft(v, j - {b * width})"),
+                ).otherwise(F.lit(0))
+            ).alias(f"_c{b}")
+            for b in range(bands)
+        ],
+    )
+    chunks = fps.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"_c{b}").alias("chunk"))
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
+                      "band", "chunk")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
+                      "band", "chunk")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
