@@ -268,12 +268,56 @@ def _q_extract_flagship(spark, sf_dir):
 
 
 def _q_knn_lsh(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH buckets — rows-only
-    (recall vs exact is asserted in tests/test_similarity.py)."""
+    """Approximate ANN via random-hyperplane LSH buckets, oracle-checked:
+    the DuckDB oracle embeds the SAME seeded hyperplanes as decimal
+    literals (both engines parse them to identical doubles), recomputes
+    the sign-bit buckets, and reranks within buckets — recall vs exact
+    is additionally asserted in tests/test_similarity.py."""
     from xs_vlm_ocr_spark.operators.similarity import lsh_cosine_topk
 
     emb = _doc_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64, k=10, n_planes=4)
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """Oracle for _q_knn_lsh, generated with the same hyperplane values."""
+    from xs_vlm_ocr_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+    rows = ",\n              ".join(
+        f"({j}, [{', '.join(repr(x) for x in p)}])" for j, p in enumerate(planes)
+    )
+    return f"""
+            WITH pl(j, p) AS (VALUES
+              {rows}
+            ),
+            b AS (
+              SELECT e.vec_id, e.embedding,
+                     sum(CASE WHEN list_sum(list_transform(
+                                list_zip(e.embedding, pl.p),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                              >= 0
+                         THEN 1 << pl.j ELSE 0 END) AS bucket
+              FROM embeddings e CROSS JOIN pl
+              GROUP BY e.vec_id, e.embedding
+            ),
+            q AS (SELECT vec_id qid, embedding qe, bucket FROM b WHERE vec_id < 3),
+            c AS (SELECT vec_id nid, embedding ne, bucket FROM b),
+            pairs AS (
+              SELECT qid, nid,
+                list_sum(list_transform(list_zip(qe, ne),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+                sqrt(list_sum(list_transform(qe,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+                sqrt(list_sum(list_transform(ne,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+              FROM q JOIN c USING (bucket) WHERE qid <> nid
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dot/(nq*nn) DESC, nid) AS knn_rank
+            FROM pairs QUALIFY knn_rank <= 10
+    """
 
 
 
@@ -750,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
+        "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_topk_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 3),
             c AS (SELECT vec_id nid, embedding ne FROM embeddings),
