@@ -83,3 +83,49 @@ def test_xycut_permutation_invariant(boxes, rnd):
 def test_tokenizer_parity_on_generated_taggy_input(tokens):
     html = " ".join(tokens)
     assert strip_html(html) == strip_html_stdlib(html)
+
+
+def test_prefix_filter_ngram_equals_bruteforce_random(spark):
+    """Property: prefix+positional filtering is an exact optimization on
+    arbitrary corpora (random docs, random threshold) — few examples,
+    each runs Spark jobs, so this is a seeded loop not @given."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        with_word_shingles,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(10)]
+    for case in range(3):
+        n_docs = rng.randint(5, 14)
+        docs = [
+            (f"d{i}", " ".join(rng.choice(vocab)
+                               for _ in range(rng.randint(0, 30))))
+            for i in range(n_docs)
+        ]
+        # plant one near-identical pair
+        if docs[0][1]:
+            docs.append(("dup", docs[0][1] + " extraword"))
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        t = rng.choice([0.3, 0.5, 0.8])
+
+        sh = with_word_shingles(df)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        naive = (
+            sh.select(F.col("doc_id").alias("a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+            .join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+            .filter(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= t)
+        )
+        want = sorted(tuple(r) for r in
+                      naive.select("a", "b", "inter", "na", "nb").collect())
+        got = sorted(tuple(r) for r in
+                     ngram_jaccard_pairs(df, threshold=t).collect())
+        assert got == want, f"case {case} threshold {t}"
