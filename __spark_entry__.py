@@ -246,13 +246,47 @@ def _q_knn_topk_cosine(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
+def _refresh_flagship_fixture(sf_dir):
+    """Self-healing oracle fixture: if the driver regenerated the sf0.01
+    documents table (md5 sidecar mismatch), recompute the pure-Python
+    expected output before the oracle compares. Only the sf0.01 tier
+    (the driver's compare tier) may rewrite the fixture."""
+    import hashlib
+    import os
+    import subprocess
+    import sys as _sys
+
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    fixture = os.path.join(here, "fixtures", "flagship_expected_sf0.01.parquet")
+    sidecar = fixture + ".input_md5"
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        with open(src, "rb") as f:
+            cur = hashlib.md5(f.read()).hexdigest()
+        recorded = ""
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                recorded = f.read().split()[-1]
+        if cur != recorded or not os.path.exists(fixture):
+            subprocess.run(
+                [_sys.executable, os.path.join(here, "tools", "make_flagship_fixture.py"),
+                 sf_dir, fixture],
+                check=True, capture_output=True, timeout=600,
+            )
+    except Exception:
+        pass  # fixture stays as-is; the oracle compare will surface any drift
+
+
 def _q_extract_flagship(spark, sf_dir):
     """Extraction over interleaved docs. Value-checked against a parquet
     fixture materialized from the PURE-PYTHON single-doc extractor (the
     independent implementation the golden tests trust) over the same
     deterministic interleave — see tools/make_flagship_fixture.py. The
-    fixture is tied to the sf0.01 input (driver compare tier); its
-    .input_md5 sidecar makes staleness diagnosable."""
+    fixture self-heals when the driver regenerates the sf0.01 input
+    (md5 sidecar check in _refresh_flagship_fixture)."""
+    _refresh_flagship_fixture(sf_dir)
     from xs_vlm_ocr_spark.operators.extraction import (
         extract_spans,
         split_extraction_output,
