@@ -30,23 +30,36 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(500_000 * _SF))))
 
 
 def _extract_bench(spark) -> tuple[float, int]:
-    """Flagship: synthetic corpus -> full extraction plan -> count."""
+    """Flagship: synthetic corpus -> full extraction plan -> count.
+
+    Warmup pass on a small slice spins up the python worker pool and
+    JITs the plan (cold extraction runs 3-5x slower than steady state);
+    then min of SPARK_GRAFT_BENCH_RUNS timed runs, consistent with the
+    per-query protocol."""
     from xs_vlm_ocr_spark.corpus import gen_docs_df
     from xs_vlm_ocr_spark.operators.extraction import (
         extract_spans, split_extraction_output, valid_docs, with_content_hash,
     )
     from xs_vlm_ocr_spark.operators.skew import repartition_by_doc_length
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     docs = gen_docs_df(spark, N_DOCS).persist()
     n = docs.count()  # materialize corpus outside the timed window
-    t0 = time.monotonic()
-    jobs = repartition_by_doc_length(with_content_hash(valid_docs(docs)), CPUS * 3)
-    results, _ = split_extraction_output(extract_spans(jobs))
-    n_out = results.count()
-    dt = time.monotonic() - t0
+
+    def one_pass(src):
+        jobs = repartition_by_doc_length(with_content_hash(valid_docs(src)), CPUS * 3)
+        results, _ = split_extraction_output(extract_spans(jobs))
+        return results.count()
+
+    one_pass(gen_docs_df(spark, max(200, N_DOCS // 100)))  # warmup
+    best = float("inf")
+    for _ in range(max(1, runs - 1)):
+        t0 = time.monotonic()
+        n_out = one_pass(docs)
+        best = min(best, time.monotonic() - t0)
+        assert n_out == n, (n_out, n)
     docs.unpersist()
-    assert n_out == n, (n_out, n)
-    return dt, n
+    return best, n
 
 
 def main() -> None:
