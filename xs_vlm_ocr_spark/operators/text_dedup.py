@@ -325,11 +325,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 sigs.append([int(v) for v in vals.min(axis=1).astype(np.int64)])
             yield pd.DataFrame({"doc_id": pdf[id_col], "sig": sigs})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        run, schema=f"{id_col} string, sig array<bigint>"
-    ) if dict(df.dtypes)[id_col] == "string" else df.select(
-        F.col(id_col).cast("string").alias(id_col), F.col(text_col)
-    ).mapInPandas(run, schema=f"{id_col} string, sig array<bigint>")
+    src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(text_col))
+    return src.mapInPandas(run, schema=f"{id_col} string, sig array<bigint>")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
