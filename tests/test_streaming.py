@@ -5,7 +5,6 @@ from xs_vlm_ocr_spark.corpus import gen_docs_df
 from xs_vlm_ocr_spark.job import ExtractionJob
 from xs_vlm_ocr_spark.streaming.incremental import (
     start_incremental_extraction,
-    stream_docs,
     windowed_doc_metrics,
 )
 

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xs_vlm_ocr_spark.extract.pipeline import extract_doc, merge_full_text
-from xs_vlm_ocr_spark.schemas import EXTRACTION_OUTPUT_DDL
 
 DEFAULT_MODEL = "main_content_v1"
 
