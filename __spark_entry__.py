@@ -1,12 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship extraction pipeline (SURVEY.md §3.1
-restated) on sf0.001. ``queries()``/``oracle_sql()`` cover the
-SQL-expressible operators of SURVEY.md §2 (history/metrics surface,
-dedup joins, text analysis, similarity search) against the driver's
-parquet tables; genuinely non-SQL ops (the extraction UDF family) are
-registered without an oracle (rows-only check) and are instead gated by
-the golden-span pytest fixtures in tests/.
+restated) on sf0.001. ``queries()``/``oracle_sql()`` cover SURVEY.md §2
+(history/metrics surface, dedup joins, text analysis, similarity
+search) against the driver's parquet tables — every registered query
+has a DuckDB oracle: SQL-portable ops directly, hash-family ops via
+md5-derived portable twins, and the extraction flagship via a committed
+pure-Python fixture (tools/make_flagship_fixture.py; regenerated ONLY
+by that explicit tool run — never silently inside the contract).
 """
 
 from __future__ import annotations
@@ -15,6 +16,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# The oracle SQL interpolates the SAME whitespace/token regexes the Spark
+# operators compile (Java \s and RE2 \s disagree on \x0B — pinning one
+# explicit class in both engines makes tokenization parity structural).
+from xs_vlm_ocr_spark.operators.text_analysis import BPE_RE, WS_CHARS, WS_RE
 
 
 def _doc_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -246,14 +252,20 @@ def _q_knn_topk_cosine(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
-def _refresh_flagship_fixture(sf_dir):
-    """Self-healing oracle fixture: if the driver regenerated the sf0.01
-    documents table (md5 sidecar mismatch), recompute the pure-Python
-    expected output before the oracle compares. Only the sf0.01 tier
-    (the driver's compare tier) may rewrite the fixture."""
+def _check_flagship_fixture(sf_dir):
+    """Tamper-evident freshness check — NEVER regenerates. The committed
+    fixture is the oracle's expectation; re-deriving it inside the
+    contract run would make the check verify plumbing only (a semantic
+    regression in extract/ would regenerate a matching fixture and pass).
+    Regeneration happens ONLY via an explicit
+    `python tools/make_flagship_fixture.py` run; here we just warn
+    loudly on stderr when the sidecar says the driver's input changed,
+    so a genuine oracle mismatch downstream is diagnosable as staleness
+    rather than an engine bug. Sensitivity is proven by
+    tests/test_flagship_fixture_guard.py (a perturbed extractor makes
+    the compare fail)."""
     import hashlib
     import os
-    import subprocess
     import sys as _sys
 
     if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
@@ -268,15 +280,18 @@ def _refresh_flagship_fixture(sf_dir):
         recorded = ""
         if os.path.exists(sidecar):
             with open(sidecar) as f:
-                recorded = f.read().split()[-1]
-        if cur != recorded or not os.path.exists(fixture):
-            subprocess.run(
-                [_sys.executable, os.path.join(here, "tools", "make_flagship_fixture.py"),
-                 sf_dir, fixture],
-                check=True, capture_output=True, timeout=600,
+                recorded = f.read().split()[1]
+        if not os.path.exists(fixture) or cur != recorded:
+            print(
+                f"[extract_flagship] WARNING: oracle fixture is STALE or missing "
+                f"(input md5 {cur} != recorded {recorded or '<none>'}). The oracle "
+                f"compare will fail until you run: python tools/"
+                f"make_flagship_fixture.py {sf_dir} {fixture}",
+                file=_sys.stderr, flush=True,
             )
-    except Exception:
-        pass  # fixture stays as-is; the oracle compare will surface any drift
+    except Exception as exc:  # diagnostics only — never block the query
+        print(f"[extract_flagship] fixture freshness check errored: {exc}",
+              file=_sys.stderr, flush=True)
 
 
 def _q_extract_flagship(spark, sf_dir):
@@ -284,9 +299,10 @@ def _q_extract_flagship(spark, sf_dir):
     fixture materialized from the PURE-PYTHON single-doc extractor (the
     independent implementation the golden tests trust) over the same
     deterministic interleave — see tools/make_flagship_fixture.py. The
-    fixture self-heals when the driver regenerates the sf0.01 input
-    (md5 sidecar check in _refresh_flagship_fixture)."""
-    _refresh_flagship_fixture(sf_dir)
+    fixture is COMMITTED and only regenerated by that explicit tool run;
+    _check_flagship_fixture warns (stderr) when the recorded input md5
+    no longer matches the driver's sf0.01 table."""
+    _check_flagship_fixture(sf_dir)
     from xs_vlm_ocr_spark.operators.extraction import (
         extract_spans,
         split_extraction_output,
@@ -354,6 +370,41 @@ def _knn_lsh_oracle_sql() -> str:
     """
 
 
+
+
+def _lang_id_oracle_sql() -> str:
+    """Oracle for _q_lang_id, generated from the SAME marker lists and
+    pinned whitespace class as operators.text_analysis.lang_id — the
+    word-boundary regex is identical in both engines by construction."""
+    from xs_vlm_ocr_spark.operators.text_analysis import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n                       ".join(
+        "("
+        + " + ".join(
+            f"len(regexp_extract_all(lower(text), "
+            f"'(^|[{WS_CHARS}]){w}([{WS_CHARS}]|$)'))"
+            for w in LANG_MARKERS[lang]
+        )
+        + f") AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    cases = "\n                        ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs[:-1]
+    )
+    return f"""
+            WITH hits AS (
+                SELECT doc_id,
+                       {hit_cols}
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN {best} = 0 THEN 'und'
+                        {cases}
+                        ELSE '{langs[-1]}' END AS lang_guess
+            FROM hits
+    """
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -806,17 +857,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT md5(text) FROM documents WHERE doc_id % 2 = 0
             )
         """,
-        "token_count": r"""
+        "token_count": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                   len(regexp_split_to_array(trim(text), '{WS_RE}')) AS n_tokens
             FROM documents
         """,
-        "quality_score": r"""
+        "quality_score": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '{WS_RE}')) AS n_tokens,
                    (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
                     + CASE WHEN length(text) * 1.0
-                               / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+                               / greatest(len(regexp_split_to_array(trim(text), '{WS_RE}')), 1)
                                BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END
                     + CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
                                / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END
@@ -847,11 +898,11 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY dot/(nq*nn) DESC, nid) AS knn_rank
             FROM pairs QUALIFY knn_rank <= 10
         """,
-        "simhash_near_pairs": """
+        "simhash_near_pairs": f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, tok AS g
               FROM (SELECT doc_id,
-                           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                           unnest(regexp_split_to_array(lower(trim(text)), '{WS_RE}')) AS tok
                     FROM documents)
               WHERE tok <> ''
             ),
@@ -889,9 +940,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot tb ON tb.doc_id = c.b
             WHERE bit_count(xor(ta.simhash, tb.simhash)) <= 3
         """,
-        "minhash_lsh_pairs": """
+        "minhash_lsh_pairs": f"""
             WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
               FROM documents
             ),
             grams AS (
@@ -928,9 +979,9 @@ def oracle_sql() -> dict[str, str]:
             HAVING CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
                      / 16.0 >= 0.5
         """,
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_pairs": f"""
             WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
               FROM documents
             ),
             grams AS (
@@ -965,32 +1016,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.4
         """,
-        "lang_id": """
-            WITH hits AS (
-                SELECT doc_id,
-                       (len(regexp_extract_all(lower(text), '(^|\s)der(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)die(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)und(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)das(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)ist(\s|$)'))) AS h_de,
-                       (len(regexp_extract_all(lower(text), '(^|\s)the(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)and(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)of(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)to(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)is(\s|$)'))) AS h_en,
-                       (len(regexp_extract_all(lower(text), '(^|\s)el(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)la(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)los(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)que(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)es(\s|$)'))) AS h_es,
-                       (len(regexp_extract_all(lower(text), '(^|\s)le(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)la(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)les(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)des(\s|$)')) + len(regexp_extract_all(lower(text), '(^|\s)est(\s|$)'))) AS h_fr
-                FROM documents
-            )
+        "lang_id": _lang_id_oracle_sql(),
+        "bpe_token_count": f"""
             SELECT doc_id,
-                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                        ELSE 'fr' END AS lang_guess
-            FROM hits
-        """,
-        "bpe_token_count": """
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))
+                   len(regexp_extract_all(text, '{BPE_RE}'))
                      AS n_bpe
             FROM documents
         """,
-        "fingerprint_dedup": """
+        "fingerprint_dedup": f"""
             SELECT CAST(('0x' || substr(
-                     md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 15))
+                     md5(regexp_replace(trim(text), '{WS_RE}', ' ', 'g')), 1, 15))
                    AS BIGINT) AS fp,
                    count(*) AS n, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1
@@ -1195,7 +1230,4 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY dot/(nq*nn) DESC, nid) AS knn_rank
             FROM pairs QUALIFY knn_rank <= 10
         """,
-        # extract_flagship, knn_lsh, fingerprint_dedup, minhash/simhash
-        # pairs: intentionally no oracle (non-SQL ops;
-        # gated by pytest golden fixtures / recall tests instead)
     }

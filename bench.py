@@ -53,7 +53,7 @@ def _extract_bench(spark) -> tuple[float, int]:
 
     one_pass(gen_docs_df(spark, max(200, N_DOCS // 100)))  # warmup
     best = float("inf")
-    for _ in range(max(1, runs - 1)):
+    for _ in range(runs):  # same sample count as the per-query protocol
         t0 = time.monotonic()
         n_out = one_pass(docs)
         best = min(best, time.monotonic() - t0)

@@ -93,9 +93,22 @@ def main() -> None:
     pq.write_table(table, out)
     with open(src, "rb") as f:
         md5 = hashlib.md5(f.read()).hexdigest()
+    # sidecar: input file md5 + the generator's git commit, so a reviewer
+    # can see exactly which extractor version produced the expectation
+    import subprocess
+
+    try:
+        git_hash = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+    except Exception:
+        git_hash = "unknown"
     with open(out + ".input_md5", "w") as f:
-        f.write(f"{src} {md5}\n")
-    print(f"wrote {len(doc_ids)} expected rows -> {out} (input md5 {md5})")
+        f.write(f"{src} {md5} generator_git={git_hash}\n")
+    print(f"wrote {len(doc_ids)} expected rows -> {out} "
+          f"(input md5 {md5}, generator git {git_hash})")
 
 
 if __name__ == "__main__":

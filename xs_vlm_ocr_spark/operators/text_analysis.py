@@ -20,19 +20,29 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["le", "la", "les", "des", "est"],
 }
 
-_WORD_BOUNDARY = r"(^|\s){w}(\s|$)"
+# Whitespace pinned to an explicit class: Java \s == [ \t\n\x0B\f\r] but
+# RE2 (DuckDB) \s == [\t\n\f\r ] (no \x0B), so a bare \s+ in Spark vs the
+# oracle SQL would disagree on vertical-tab input. Every tokenizing
+# operator AND its DuckDB oracle (__spark_entry__.py) use THESE constants
+# so the semantics are identical by construction.
+WS_CHARS = r" \t\n\r\f\x0b"
+WS_RE = f"[{WS_CHARS}]+"
+
+_WORD_BOUNDARY = f"(^|[{WS_CHARS}]){{w}}([{WS_CHARS}]|$)"
+
+BPE_RE = f"([A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}])"
 
 
 def token_count(text: Column) -> Column:
     """Whitespace tokenization count (split is codegen'd)."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    return F.size(F.split(F.trim(text), WS_RE))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish proxy: word pieces + digit runs + punctuation marks each
     count as a token (regex segmentation, still JVM-side)."""
     return F.size(
-        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1))
+        F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(1))
     )
 
 
@@ -83,7 +93,7 @@ def fingerprint64(text: Column) -> Column:
     """64-bit content fingerprint of normalized text (xxhash64 of the
     whitespace-canonical form) — the cheap exact-dup key. Fastest
     (native JVM hash); not portable to DuckDB, covered by tests."""
-    return F.xxhash64(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.xxhash64(F.regexp_replace(F.trim(text), WS_RE, " "))
 
 
 def fingerprint64_md5(text: Column) -> Column:
@@ -93,5 +103,5 @@ def fingerprint64_md5(text: Column) -> Column:
     reproducible in any engine with md5 — DuckDB oracle:
     CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT). 15 hex digits
     keep the value inside the positive BIGINT range on both sides."""
-    canon = F.regexp_replace(F.trim(text), r"\s+", " ")
+    canon = F.regexp_replace(F.trim(text), WS_RE, " ")
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")

@@ -38,9 +38,10 @@ def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     xxhash64(n-gram string) — an 8-byte join key instead of the string.
     """
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
 
     df = fan_out_small_input(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
@@ -140,8 +141,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     # positional filter (PPJoin): at a shared shingle at positions
     # (rka, rkb), overlap <= 1 + min(na - rka, nb - rkb); a qualifying
     # pair needs overlap >= ceil(t/(1+t) * (na+nb)) and always survives
-    # at its order-minimal shared prefix shingle
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
+    # at its order-minimal shared prefix shingle. The 1e-9 slack keeps
+    # ceil strictly conservative when the float quotient lands a hair
+    # ABOVE the exact rational (e.g. t=1/34, na+nb=105: float ceil gives
+    # 4 vs exact 3) — overlap is an integer, so shaving 1e-9 can only
+    # re-admit boundary candidates for the exact verify, never lose one
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
+    )
     ubound = F.lit(1) + F.least(F.col("na") - F.col("rka"), F.col("nb") - F.col("rkb"))
     cand = (
         a.join(b, "shingle")
@@ -170,9 +177,10 @@ def with_word_gram_strings(df: DataFrame, text_col: str = "text", n: int = 3,
     """Like with_word_shingles but keeps the gram STRING (doc_id, g) —
     for operators whose hashing must be oracle-portable (md5)."""
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
 
     df = fan_out_small_input(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
