@@ -421,6 +421,24 @@ def _q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.4, dim=64)
 
 
+def _q_embedding_near_dup_t09(spark, sf_dir):
+    """Tight-threshold (0.9) registration of the eps-grid near-dup. The
+    driver's isotropic embeddings have no natural 0.9-cosine pairs, so
+    the input plants one exact clone per vector (vec_id + 100000) — both
+    engines build the same union, and the expected output is exactly the
+    planted (v, v+100000) pairs, value-checking candidate generation AND
+    the exact verify at the tight threshold. The pruning this regime
+    enables is asserted on clustered data in
+    tests/test_text_dedup.py::test_grid_prunes_clustered_data_at_tight_threshold
+    (isotropic high-dim input degrades the grid to a hash-partitioned
+    all-pairs equi-join — see the operator docstring)."""
+    from xs_vlm_ocr_spark.operators.text_dedup import embedding_near_dup_pairs
+
+    emb = _doc_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9, dim=64)
+
+
 def _q_lang_id(spark, sf_dir):
     from xs_vlm_ocr_spark.operators.text_analysis import lang_id
 
@@ -758,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_t09": _q_embedding_near_dup_t09,
         "lang_id": _q_lang_id,
         "bpe_token_count": _q_bpe_token_count,
         "fingerprint_dedup": _q_fingerprint_dedup,
@@ -1015,6 +1034,24 @@ def oracle_sql() -> dict[str, str]:
               FROM v x JOIN v y ON x.vec_id < y.vec_id
             )
             SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.4
+        """,
+        "embedding_near_dup_t09": """
+            WITH v AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+            ),
+            pairs AS (
+              SELECT x.vec_id a, y.vec_id b,
+                list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+                sqrt(list_sum(list_transform(x.embedding,
+                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nx,
+                sqrt(list_sum(list_transform(y.embedding,
+                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS ny
+              FROM v x JOIN v y ON x.vec_id < y.vec_id
+            )
+            SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.9
         """,
         "lang_id": _lang_id_oracle_sql(),
         "bpe_token_count": f"""

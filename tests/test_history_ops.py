@@ -30,20 +30,28 @@ def test_keyset_pagination_equals_offset_pagination(spark, events):
 
 
 def test_cache_hits_replay_with_zero_time(spark):
+    # latest-successful-wins is ordered by the history timestamp (ts DESC,
+    # id tiebreak — reference HistoryManager.cpp:480-483), NOT by any
+    # duration proxy: the older h1 row deliberately has the LARGER
+    # processing_time_ms so a wrong proxy would pick the wrong row.
+    from datetime import datetime
+
+    d = lambda day: datetime(2024, 1, day)  # noqa: E731
     results = spark.createDataFrame(
         [
-            ("h1", "d1", True, "text one", 120),
-            ("h1", "d1", True, "text one", 80),      # older duplicate
-            ("h2", "d2", False, "", 50),              # failed: never a hit
-            ("h3", "d3", True, "text three", 60),
+            ("h1", "d1", True, "text newer", 120, d(2), 2),
+            ("h1", "d1", True, "text older", 999, d(1), 1),
+            ("h2", "d2", False, "", 50, d(3), 3),  # failed: never a hit
+            ("h3", "d3", True, "text three", 60, d(1), 4),
         ],
-        "content_hash string, doc_id string, success boolean, full_text string, processing_time_ms long",
+        "content_hash string, doc_id string, success boolean, "
+        "full_text string, processing_time_ms long, ts timestamp, id long",
     )
     jobs = spark.createDataFrame([("h1",), ("h2",), ("h9",)], "content_hash string")
     hits = {r["content_hash"]: r for r in cache_hits(jobs, results).collect()}
     assert set(hits) == {"h1"}  # h2 failed, h9 unknown
     assert hits["h1"]["processing_time_ms"] == 0  # reference cache-hit marker
-    assert hits["h1"]["full_text"] == "text one"
+    assert hits["h1"]["full_text"] == "text newer"  # ts DESC, not duration
 
 
 def test_invalid_docs_routed_not_dropped(spark):

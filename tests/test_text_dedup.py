@@ -113,6 +113,49 @@ def test_grid_near_dup_complete_vs_exact(spark):
     assert (0, 50) in exact or not exact
 
 
+def test_grid_prunes_clustered_data_at_tight_threshold(spark):
+    """The pruning regime the eps-grid exists for (its docstring's honest
+    contract): ANISOTROPIC/clustered embeddings at a tight threshold.
+    There the candidate count must be STRICTLY below all-pairs (pairs in
+    cells >1 apart on some axis never join) while the verified output
+    still equals the exact all-pairs result. On isotropic high-dim data
+    the grid degrades to a hash-partitioned all-pairs equi-join — that
+    case is routed to the approximate family, per the docstring."""
+    import numpy as np
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        _grid_feat_and_candidates,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    rng = np.random.RandomState(23)
+    k, per, dim, t = 12, 15, 4, 0.95
+    centers = rng.standard_normal((k, dim)).astype(np.float64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(k):
+        for j in range(per):
+            v = centers[c] + 0.02 * rng.standard_normal(dim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    n = len(rows)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+    _, cand = _grid_feat_and_candidates(df, "embedding", "vec_id", t, 3, dim, 7)
+    n_cand = cand.count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs, (n_cand, all_pairs)
+    assert n_cand < 0.5 * all_pairs, (  # genuine pruning, not off-by-one
+        f"grid candidates {n_cand} vs all-pairs {all_pairs}"
+    )
+
+    got = {(r["a"], r["b"]) for r in
+           embedding_near_dup_pairs(df, threshold=t, dim=dim).collect()}
+    want = {(r["a"], r["b"]) for r in
+            embedding_near_dup_pairs_exact(df, threshold=t).collect()}
+    assert got == want and len(want) > 0  # pruning lost nothing
+
+
 def test_ngram_prefix_filter_matches_bruteforce(corpus_df, spark):
     """Prefix filtering is an exact optimization: results must equal the
     naive shingle self-join at every threshold."""

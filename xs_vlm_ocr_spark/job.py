@@ -17,11 +17,12 @@ from __future__ import annotations
 
 import os
 import uuid
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xs_vlm_ocr_spark.operators.dedup import filter_uncached
+from xs_vlm_ocr_spark.operators.dedup import cache_hits, filter_uncached
 from xs_vlm_ocr_spark.operators.extraction import (
     DEFAULT_MODEL,
     extract_spans,
@@ -34,14 +35,62 @@ from xs_vlm_ocr_spark.schemas import LINEAGE_SCHEMA
 from xs_vlm_ocr_spark.table_io import CheckpointedTable
 
 
+def stamp_results(results: DataFrame, run_id: str, committed_at: datetime,
+                  source: str) -> DataFrame:
+    """History-row stamps at append time (reference HistoryManager.cpp:
+    275-328 — every persisted row carries an insert timestamp, an id and
+    a source), making the committed table carry every RESULTS_SCHEMA
+    column so the history operators (paginate/latest_per_key/
+    filter_history/retention) run on the engine's OWN output:
+
+      * ts      — the run's commit timestamp (one literal per run: the
+                  batch-append analogue of the reference's per-INSERT
+                  CURRENT_TIMESTAMP; recency ordering needs run
+                  granularity, which this preserves exactly);
+      * id      — xxhash64(run_id, content_hash): unique within a run by
+                  construction (runs are deduped on content_hash) and
+                  across runs via run_id, with NO global coordination —
+                  the distributed stand-in for SQLite AUTOINCREMENT (a
+                  global row_number would serialize 100 TB on one
+                  reducer; on a real cluster an Iceberg identity column
+                  plays this role);
+      * source  — ingest channel tag (reference upload|paste|shortcut|
+                  dragdrop; batch jobs stamp their configured channel);
+      * media_ref — first media span of the doc (the reference history
+                  stores the source image path per row).
+    """
+    media_ref = F.get(
+        F.filter(F.col("spans_out"), lambda s: s["kind"] == F.lit("media")), 0
+    )["media_ref"]
+    return results.select(
+        F.xxhash64(F.lit(run_id), F.col("content_hash")).alias("id"),
+        F.lit(committed_at).cast("timestamp").alias("ts"),
+        media_ref.alias("media_ref"),
+        F.lit(source).alias("source"),
+        "success", "full_text", "model_name", "processing_time_ms",
+        "error_message", "content_hash",
+        # engine extras beyond the reference history row
+        "doc_id", "spans_out",
+    )
+
+
 class ExtractionJob:
     def __init__(self, out_dir: str, model_name: str = DEFAULT_MODEL,
                  skew_sample_fraction: float = 0.05,
-                 timeout_ms: int | None = None) -> None:
+                 timeout_ms: int | None = None,
+                 source: str = "batch",
+                 replay_hits: bool = False) -> None:
         self.out_dir = out_dir
         self.model_name = model_name
         self.skew_sample_fraction = skew_sample_fraction
         self.timeout_ms = timeout_ms  # per-doc wall budget (C5)
+        self.source = source          # history `source` stamp
+        # replay_hits=True re-emits cached results for already-committed
+        # hashes as NEW history rows with processing_time_ms=0 (the
+        # reference's interactive hit path, MainWindow.cpp:1650-1659);
+        # False (default) is pure resume semantics: a rerun only fills
+        # gaps and the final table equals a single-run extraction.
+        self.replay_hits = replay_hits
         self.results = CheckpointedTable(os.path.join(out_dir, "results"))
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
 
@@ -93,6 +142,8 @@ class ExtractionJob:
         from pyspark.sql import Observation
 
         run_id = run_id or uuid.uuid4().hex[:12]
+        committed_at = datetime.now(timezone.utc).replace(tzinfo=None)  # UTC session
+        committed_before = self.results.read(spark) if self.replay_hits else None
         obs = Observation(f"invalid_{run_id}")
         combined = self.plan(spark, docs, target_partitions, observation=obs)
 
@@ -105,7 +156,24 @@ class ExtractionJob:
 
         staged = spark.read.parquet(staging)
         results, lineage = split_extraction_output(staged)
-        self.results.append(results, run_id)
+        if committed_before is not None:
+            # reference hit path (MainWindow.cpp:1650-1659): for input
+            # hashes already committed, re-emit the latest successful
+            # result as a new history row with processing_time_ms=0.
+            # The probe re-hashes the input (a second cheap JVM-side
+            # scan; the extraction pass itself still runs once).
+            probe = with_content_hash(valid_docs(docs), self.model_name)
+            hits = cache_hits(probe.select("content_hash"), committed_before)
+            results = results.unionByName(
+                hits.select(
+                    "doc_id", "success", "error_message", "spans_out",
+                    "full_text", "model_name", "content_hash",
+                    "processing_time_ms",
+                )
+            )
+        self.results.append(
+            stamp_results(results, run_id, committed_at, self.source), run_id
+        )
         lineage = lineage.withColumn("run_id", F.lit(run_id)).withColumn(
             "stage", F.lit("extract")
         ).select([f.name for f in LINEAGE_SCHEMA.fields])

@@ -39,9 +39,12 @@ def filter_uncached(jobs: DataFrame, results: DataFrame | None,
 
 def cache_hits(jobs: DataFrame, results: DataFrame | None) -> DataFrame | None:
     """Replay of memoized results for jobs whose hash is already
-    committed: most-recent successful result wins (reference O4,
-    HistoryManager.cpp:480-483), re-emitted with processing_time_ms=0
-    (reference MainWindow.cpp:1654)."""
+    committed: most-recent successful result wins — ORDER BY ts DESC
+    exactly like the reference (O4, HistoryManager.cpp:480-483, the
+    history row's insert timestamp), id as the within-timestamp
+    tiebreak — re-emitted with processing_time_ms=0 (reference
+    MainWindow.cpp:1654). ``results`` must carry the commit stamps
+    (`ts`, `id`) that ExtractionJob.run adds at append time."""
     if results is None:
         return None
     from pyspark.sql import Window as W
@@ -51,9 +54,7 @@ def cache_hits(jobs: DataFrame, results: DataFrame | None) -> DataFrame | None:
         .withColumn(
             "_rn",
             F.row_number().over(
-                W.partitionBy("content_hash").orderBy(
-                    F.desc("processing_time_ms"), F.desc("doc_id")
-                )
+                W.partitionBy("content_hash").orderBy(F.desc("ts"), F.desc("id"))
             ),
         )
         .filter(F.col("_rn") == 1)

@@ -541,40 +541,15 @@ def embedding_near_dup_pairs_exact(df: DataFrame, vec_col: str = "embedding",
     )
 
 
-def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
-                             id_col: str = "vec_id", threshold: float = 0.95,
-                             n_axes: int = 3, dim: int | None = None,
-                             seed: int = 7) -> DataFrame:
-    """Cosine near-dup pairs via a COMPLETE eps-grid candidate join +
-    exact verify — no cartesian product anywhere in the plan.
-
-    For unit-normalized vectors, cos(x, y) >= t  <=>  ||x̂ - ŷ|| <= eps
-    with eps = sqrt(2 - 2t). Project onto `n_axes` fixed random unit
-    axes: |<x̂ - ŷ, r>| <= ||x̂ - ŷ|| <= eps, so a qualifying pair's
-    floor(proj/eps) grid cells differ by at most 1 per axis. Emitting
-    cells {c, c+1} per axis (2^n_axes keys/vector) guarantees every
-    qualifying pair shares >= 1 composite key — candidate completeness
-    is a triangle-inequality fact, not a probabilistic LSH recall. Extra
-    candidates (hash collisions, far pairs in one cell) are removed by
-    the exact cosine verify, which reuses the same double-precision
-    expression as the all-pairs baseline.
-
-    Honest pruning characteristics (measured on the sf0.01 embeddings):
-    a 1-D projection of isotropic dim-D unit vectors has spread ~1/sqrt(D)
-    (~0.125 at D=64), while completeness forces the cell width to eps =
-    sqrt(2-2t) (0.32 even at t=0.95) — so on isotropic data the grid
-    degrades to a hash-partitioned all-pairs equi-join (exact
-    sub-quadratic threshold joins on such data are impossible; this is
-    the hard case of similarity search). The grid genuinely prunes when
-    eps < projection spread: low-dimensional, anisotropic, or
-    PCA/whitened embeddings, or very tight thresholds. For isotropic
-    high-dim corpora at 100 TB the scale path is the approximate family
-    (minhash_lsh_pairs / simhash_near_pairs / similarity.lsh_cosine_topk)
-    + exact verify; THIS operator is the exact primitive and the
-    verification stage. Plan shape either way: narrow (id, key)
-    self-equi-join -> distinct (a, b) -> two hash joins back to the
-    vectors — no CartesianProduct node, all shuffles hash-partitioned.
-    """
+def _grid_feat_and_candidates(df: DataFrame, vec_col: str, id_col: str,
+                              threshold: float, n_axes: int,
+                              dim: int | None, seed: int
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Shared eps-grid stage of embedding_near_dup_pairs: returns
+    (feat, cand) where feat carries (doc, _v, _n) for the exact verify
+    and cand is the DISTINCT complete candidate set (a, b). Exposed
+    separately so tests can assert the pruning ratio (candidates vs
+    all-pairs) without running the verify."""
     import math
 
     from xs_vlm_ocr_spark.operators.similarity import _dot, _norm
@@ -619,6 +594,48 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+    return feat, cand
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             n_axes: int = 3, dim: int | None = None,
+                             seed: int = 7) -> DataFrame:
+    """Cosine near-dup pairs via a COMPLETE eps-grid candidate join +
+    exact verify — no cartesian product anywhere in the plan.
+
+    For unit-normalized vectors, cos(x, y) >= t  <=>  ||x̂ - ŷ|| <= eps
+    with eps = sqrt(2 - 2t). Project onto `n_axes` fixed random unit
+    axes: |<x̂ - ŷ, r>| <= ||x̂ - ŷ|| <= eps, so a qualifying pair's
+    floor(proj/eps) grid cells differ by at most 1 per axis. Emitting
+    cells {c, c+1} per axis (2^n_axes keys/vector) guarantees every
+    qualifying pair shares >= 1 composite key — candidate completeness
+    is a triangle-inequality fact, not a probabilistic LSH recall. Extra
+    candidates (hash collisions, far pairs in one cell) are removed by
+    the exact cosine verify, which reuses the same double-precision
+    expression as the all-pairs baseline.
+
+    Honest pruning characteristics (measured on the sf0.01 embeddings):
+    a 1-D projection of isotropic dim-D unit vectors has spread ~1/sqrt(D)
+    (~0.125 at D=64), while completeness forces the cell width to eps =
+    sqrt(2-2t) (0.32 even at t=0.95) — so on isotropic data the grid
+    degrades to a hash-partitioned all-pairs equi-join (exact
+    sub-quadratic threshold joins on such data are impossible; this is
+    the hard case of similarity search). The grid genuinely prunes when
+    eps < projection spread: low-dimensional, anisotropic, or
+    PCA/whitened embeddings, or very tight thresholds. For isotropic
+    high-dim corpora at 100 TB the scale path is the approximate family
+    (minhash_lsh_pairs / simhash_near_pairs / similarity.lsh_cosine_topk)
+    + exact verify; THIS operator is the exact primitive and the
+    verification stage. Plan shape either way: narrow (id, key)
+    self-equi-join -> distinct (a, b) -> two hash joins back to the
+    vectors — no CartesianProduct node, all shuffles hash-partitioned.
+    """
+    from xs_vlm_ocr_spark.operators.similarity import _dot
+
+    feat, cand = _grid_feat_and_candidates(
+        df, vec_col, id_col, threshold, n_axes, dim, seed
     )
     return (
         cand.join(feat.select(F.col("doc").alias("a"), F.col("_v").alias("_va"),

@@ -79,7 +79,10 @@ EXTRACTION_OUTPUT_SCHEMA = T.StructType(
 
 # Mirrors the reference history table (HistoryManager.cpp:52-65): the
 # queryable output store for the SQL surface (filter/search/count/
-# pagination/retention/dedup).
+# pagination/retention/dedup). ExtractionJob.run commits exactly these
+# columns (stamped at append time by job.stamp_results) plus the engine
+# extras (doc_id, spans_out) — so the history operators run unchanged
+# on the engine's own committed output (tests/test_results_history.py).
 RESULTS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
