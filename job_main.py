@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--timeout-ms", type=int, default=None,
                     help="per-doc wall budget; over-budget docs become error rows")
+    ap.add_argument("--source", default="batch",
+                    help="history `source` stamp on committed rows")
+    ap.add_argument("--replay-hits", action="store_true",
+                    help="re-emit cached results for committed hashes as new "
+                         "history rows with processing_time_ms=0 (reference "
+                         "hit path); default is pure resume semantics")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,7 +45,8 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     job = ExtractionJob(args.output, model_name=args.model,
-                        timeout_ms=args.timeout_ms)
+                        timeout_ms=args.timeout_ms, source=args.source,
+                        replay_hits=args.replay_hits)
     run_id = job.run(spark, docs, run_id=args.run_id, target_partitions=args.partitions)
 
     results = job.read_results(spark)

@@ -37,40 +37,78 @@ def _norm(text: str) -> str:
     return " ".join(text.split())
 
 
-def extract_doc(spans: Sequence[Span]) -> list[OutSpan]:
-    """Extract one document's input spans into ordered output spans."""
-    ordered = sorted(spans, key=lambda s: s["offset"])
-    segments: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
+def extract_doc_arrays(
+    kinds: Sequence[str], texts: Sequence[str],
+    refs: Sequence[str], offs: Sequence[int],
+) -> tuple[list[str], list[str], list[str], str]:
+    """THE single-doc extraction semantic, over parallel primitive arrays
+    (the exact shape Arrow hands the Spark stage) -> (out_kinds,
+    out_texts, out_refs, full_text). Output index IS the dense `order`.
+
+    This is the allocation-lean hot-loop form: no per-span dicts are
+    built in either direction (at 32 workers per socket the per-doc
+    CPython allocation traffic is what saturates the memory bus — see
+    BENCH/BASELINE.md). ``extract_doc`` is a thin dict adapter over this
+    function, so the golden tests pin the same code path the UDF runs.
+    """
+    order = sorted(range(len(kinds)), key=offs.__getitem__)
+    out_kinds: list[str] = []
+    out_texts: list[str] = []
+    out_refs: list[str] = []
+    k_app, t_app, r_app = out_kinds.append, out_texts.append, out_refs.append
     pdf_run: list[str] = []
 
     def flush_pdf() -> None:
         if pdf_run:
             for para in xycut_paragraphs(pdf_run):
-                segments.append(("text", para, ""))
+                k_app("text"); t_app(para); r_app("")  # noqa: E702
             pdf_run.clear()
 
-    for span in ordered:
-        kind = span["kind"]
+    for i in order:
+        kind = kinds[i]
         if kind == "pdf_line":
-            pdf_run.append(span["text"] or "")
+            pdf_run.append(texts[i] or "")
             continue
         flush_pdf()
         if kind == "html":
-            for seg in strip_html(span["text"] or ""):
-                segments.append(("text", seg, ""))
+            for seg in strip_html(texts[i] or ""):
+                k_app("text"); t_app(seg); r_app("")  # noqa: E702
         elif kind == "text":
-            txt = _norm(span["text"] or "")
+            txt = _norm(texts[i] or "")
             if txt:
-                segments.append(("text", txt, ""))
+                k_app("text"); t_app(txt); r_app("")  # noqa: E702
         elif kind == "media":
-            segments.append(("media", "", span["media_ref"] or ""))
+            k_app("media"); t_app(""); r_app(refs[i] or "")  # noqa: E702
         # unknown kinds are dropped (validity is filtered upstream)
     flush_pdf()
 
+    # same rule as merge_full_text (parity pinned by
+    # tests/test_end_to_end.py::test_golden_span_equality)
+    full_text = "\n".join(
+        t for k, t in zip(out_kinds, out_texts) if k == "text" and t
+    )
+    return out_kinds, out_texts, out_refs, full_text
+
+
+def extract_doc(spans: Sequence[Span]) -> list[OutSpan]:
+    """Extract one document's input spans into ordered output spans
+    (dict-span adapter over ``extract_doc_arrays`` — one implementation,
+    two calling conventions)."""
+    out_kinds, out_texts, out_refs, _ = extract_doc_arrays(
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["media_ref"] for s in spans],
+        [s["offset"] for s in spans],
+    )
     return [
         {"kind": k, "text": t, "media_ref": m, "order": i}
-        for i, (k, t, m) in enumerate(segments)
+        for i, (k, t, m) in enumerate(zip(out_kinds, out_texts, out_refs))
     ]
+
+
+# the Spark stage dispatches to the arrays form when the registered
+# strategy provides one (operators.extraction.extract_spans)
+extract_doc.arrays_impl = extract_doc_arrays
 
 
 def merge_full_text(spans_out: Iterable[OutSpan]) -> str:

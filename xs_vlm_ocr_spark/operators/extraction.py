@@ -103,10 +103,15 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
     )
 
     # engine dispatch (reference MainWindow.cpp:846-882): strategy name ->
-    # registered single-doc extractor; unknown names use the default
+    # registered single-doc extractor; unknown names use the default.
+    # When the strategy exposes an `arrays_impl` (parallel-primitive-array
+    # calling convention — the canonical extract_doc does), the hot loop
+    # never builds a per-span dict in either direction; dict-only custom
+    # strategies fall back to the adapter path.
     from xs_vlm_ocr_spark.strategies import REGISTRY
 
     extract_fn = REGISTRY.get(model_name, extract_doc)
+    arrays_fn = getattr(extract_fn, "arrays_impl", None)
 
     raw_ddl = (
         "doc_id string, success boolean, error_message string, "
@@ -124,44 +129,59 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
         t_start = time.monotonic()
         docs_in = docs_out = span_count = 0
         for pdf in batches:
-            rows = []
-            for doc_id, kinds, texts, refs, offs, chash in zip(
+            # columnar accumulators: pd.DataFrame(dict-of-lists) skips the
+            # row-tuple transpose pandas does for a list-of-rows
+            c_ok: list = []     # success
+            c_err: list = []    # error_message
+            c_k: list = []; c_t: list = []; c_r: list = []  # noqa: E702
+            c_full: list = []
+            c_ms: list = []
+            for doc_id, kinds, texts, refs, offs in zip(
                 pdf["doc_id"], pdf["_kinds"], pdf["_texts"], pdf["_refs"],
-                pdf["_offs"], pdf["content_hash"],
+                pdf["_offs"],
             ):
                 docs_in += 1
                 t0 = time.monotonic_ns()
                 try:
-                    spans = [
-                        {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
-                        for k, t, r, o in zip(kinds, texts, refs, offs)
-                    ]
-                    out = extract_fn(spans)
-                    full = merge_full_text(out)
+                    if arrays_fn is not None:
+                        out_k, out_t, out_r, full = arrays_fn(kinds, texts, refs, offs)
+                    else:
+                        out = extract_fn([
+                            {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
+                            for k, t, r, o in zip(kinds, texts, refs, offs)
+                        ])
+                        full = merge_full_text(out)
+                        out_k = [s["kind"] for s in out]
+                        out_t = [s["text"] for s in out]
+                        out_r = [s["media_ref"] for s in out]
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
                     if timeout_ms is not None and elapsed > timeout_ms:
-                        rows.append(
-                            (doc_id, False,
-                             f"timeout: {elapsed} ms > budget {timeout_ms} ms",
-                             [], [], [], "", model_name, chash, elapsed, None)
-                        )
+                        c_ok.append(False)
+                        c_err.append(f"timeout: {elapsed} ms > budget {timeout_ms} ms")
+                        c_k.append([]); c_t.append([]); c_r.append([])  # noqa: E702
+                        c_full.append(""); c_ms.append(elapsed)  # noqa: E702
                         continue
                     docs_out += 1
-                    span_count += len(out)
-                    rows.append(
-                        (doc_id, True, "",
-                         [s["kind"] for s in out], [s["text"] for s in out],
-                         [s["media_ref"] for s in out],
-                         full, model_name, chash, elapsed, None)
-                    )
+                    span_count += len(out_k)
+                    c_ok.append(True); c_err.append("")  # noqa: E702
+                    c_k.append(out_k); c_t.append(out_t); c_r.append(out_r)  # noqa: E702
+                    c_full.append(full); c_ms.append(elapsed)  # noqa: E702
                 except Exception as exc:  # failure isolation: error rows, never raise
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
-                    rows.append(
-                        (doc_id, False, f"{type(exc).__name__}: {exc}"[:500],
-                         [], [], [], "", model_name, chash, elapsed, None)
-                    )
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+                    c_ok.append(False)
+                    c_err.append(f"{type(exc).__name__}: {exc}"[:500])
+                    c_k.append([]); c_t.append([]); c_r.append([])  # noqa: E702
+                    c_full.append(""); c_ms.append(elapsed)  # noqa: E702
+            if c_ok:
+                n = len(c_ok)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy(),  # raw array: no index alignment
+                    "success": c_ok, "error_message": c_err,
+                    "o_kinds": c_k, "o_texts": c_t, "o_refs": c_r,
+                    "full_text": c_full, "model_name": [model_name] * n,
+                    "content_hash": pdf["content_hash"].to_numpy(),
+                    "processing_time_ms": c_ms, "lineage": [None] * n,
+                })
         wall_ms = int((time.monotonic() - t_start) * 1000)
         lineage = {"partition_id": pid, "docs_in": docs_in, "docs_out": docs_out,
                    "span_count": span_count, "wall_ms": wall_ms}
