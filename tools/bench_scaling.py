@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import json
 import os
+import select
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -105,30 +107,60 @@ for line in sys.stdin:
 """
 
 
+class WorkerHang(RuntimeError):
+    pass
+
+
 class Worker:
+    # one Spark job at these doc counts finishes in well under 3 min;
+    # a command silent for 10 means a wedged python worker (observed
+    # once: an executor task epoll-waiting forever on a dead worker
+    # socket) — kill the pair and remeasure rather than hang the bench
+    CMD_TIMEOUT = 600.0
+
     def __init__(self, cores: int, n_docs: int,
                  model: str = "main_content_v1") -> None:
         self.cores = cores
+        self.errlog = os.path.join(
+            tempfile.gettempdir(), f"bench_scaling_{cores}_{model}.stderr")
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", WORKER % {"repo": REPO},
              str(cores), str(n_docs), model],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True,
+            stderr=open(self.errlog, "w"), text=True,
         )
         while True:
-            line = self.proc.stdout.readline()
+            line = self._readline(self.CMD_TIMEOUT)
             if not line:
                 raise RuntimeError(f"worker local[{cores}] died during startup")
             if line.strip() == "READY":
                 break
 
+    def _readline(self, timeout: float) -> str:
+        r, _, _ = select.select([self.proc.stdout], [], [], timeout)
+        if not r:
+            self.proc.kill()
+            raise WorkerHang(
+                f"worker local[{self.cores}] silent for {timeout:.0f}s — "
+                f"killed; stderr tail: {self._err_tail()}")
+        return self.proc.stdout.readline()
+
+    def _err_tail(self) -> str:
+        try:
+            with open(self.errlog) as f:
+                return " | ".join(f.read().splitlines()[-5:])
+        except Exception:
+            return "<unavailable>"
+
     def _cmd(self, cmd: str) -> dict:
         self.proc.stdin.write(cmd + "\n")
         self.proc.stdin.flush()
         while True:
-            line = self.proc.stdout.readline()
+            line = self._readline(self.CMD_TIMEOUT)
             if not line:
-                raise RuntimeError(f"worker local[{self.cores}] died mid-run")
+                raise RuntimeError(
+                    f"worker local[{self.cores}] died mid-run; "
+                    f"stderr tail: {self._err_tail()}")
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
@@ -149,7 +181,7 @@ class Worker:
 
 
 def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int,
-                 model: str = "main_content_v1") -> dict:
+                 model: str = "main_content_v1", _retry: bool = True) -> dict:
     wl, wh = Worker(n, n_docs, model), Worker(n4, n_docs, model)
     try:
         wl.run(); wh.run()  # warmup: JVM JIT + python worker pool spin-up
@@ -158,6 +190,17 @@ def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int,
         for _ in range(n_pairs):
             lows.append(wl.run())
             highs.append(wh.run())
+    except WorkerHang as exc:
+        # a wedged python worker poisons the whole pair (the partner JVM
+        # sits idle while we wait) — restart both sessions and remeasure
+        # the pair from scratch, once
+        print(f"[bench_scaling] {exc}", file=sys.stderr, flush=True)
+        wl.quit(); wh.quit()
+        if not _retry:
+            raise
+        print(f"[bench_scaling] retrying pair {n}->{n4} ({model})",
+              file=sys.stderr, flush=True)
+        return measure_pair(n, n4, n_docs, n_pairs, model, _retry=False)
     finally:
         wl.quit(); wh.quit()
     pair_effs = [lo["sec"] / hi["sec"] / 4.0 for lo, hi in zip(lows, highs)]

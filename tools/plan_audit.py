@@ -54,6 +54,19 @@ def _single_window_exchange(plan):
     return plan.count("Exchange hashpartitioning") == 1
 
 
+def _equi_join(plan):
+    # candidate generation is a hash/sort-merge/broadcast EQUI join —
+    # the linear-shuffle shape (the generic checks already exclude the
+    # quadratic CartesianProduct / BroadcastNestedLoopJoin nodes)
+    return any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def _arrow_python_stage(plan):
+    # Python payload enters the plan ONLY as an Arrow-batched stage
+    return "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
 # with the reason (generic check skips them; everything else must not).
 BNLJ_OK: dict[str, str] = {
@@ -130,6 +143,75 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     "char_stats": [
         ("aggregate pushes column pruning to the scan",
          lambda p: "ReadSchema" in p and "text" not in p.split("ReadSchema")[1][:200]),
+    ],
+    "dedup_exact_groups": [
+        ("map-side partial aggregation", _has("partial_count")),
+    ],
+    "batch_status_counts": [
+        ("map-side partial aggregation", _has("HashAggregate")),
+    ],
+    "knn_lsh": [
+        ("bucket candidate generation is an equi join", _equi_join),
+    ],
+    "embedding_near_dup": [
+        ("eps-grid candidate generation is an equi join", _equi_join),
+    ],
+    "embedding_near_dup_t09": [
+        ("eps-grid candidate generation is an equi join", _equi_join),
+    ],
+    "fingerprint_dedup": [
+        ("all-JVM (no python UDF in the plan)", _absent("PythonUDF")),
+        ("hash aggregation", _has("HashAggregate")),
+    ],
+    "media_decode": [
+        ("python payload is an Arrow-batched stage", _arrow_python_stage),
+    ],
+    "extract_flagship": [
+        ("python payload is an Arrow-batched stage", _arrow_python_stage),
+    ],
+    "events_cube": [
+        ("cube lowered to Expand + hash aggregation",
+         lambda p: "Expand" in p and "HashAggregate" in p),
+    ],
+    "events_daily_pivot": [
+        ("pivot lowered to hash aggregation (no per-column scans)",
+         _has("HashAggregate")),
+    ],
+    "running_window_agg": [
+        ("single window pass", _single_window),
+        ("one partitioning shuffle", _single_window_exchange),
+    ],
+    # streaming_hourly_rollup: the contract query returns the sink's
+    # materialized rows (LocalTableScan) — the windowed aggregation runs
+    # inside the streaming engine, out of reach of this df's plan; its
+    # state-boundedness is pinned by tests/test_stateful_streaming.py
+    "token_count": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
+    ],
+    "quality_score": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
+    ],
+    "lang_id": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
+    ],
+    "bpe_token_count": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
+    ],
+    "glm_cleanup": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
+    ],
+    "json_response_parse": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
+    ],
+    "scalar_functions": [
+        ("all-JVM scalar pipeline (codegen, no python UDF)",
+         lambda p: _codegen(p) and "PythonUDF" not in p),
     ],
 }
 
