@@ -50,7 +50,7 @@ if model == "noop":
     def _noop(spans):
         raise NotImplementedError("arrays path only")
     def _noop_arrays(kinds, texts, refs, offs):
-        return list(kinds), list(texts), list(refs), ""
+        return list(kinds), list(texts), list(refs)
     _noop.arrays_impl = _noop_arrays
     REGISTRY["noop"] = _noop
 
@@ -67,7 +67,7 @@ if model == "cpuburn":
         x = 1
         for _ in range(4000):
             x = (x * 1103515245 + 12345) & 0xFFFFFFFF
-        return [], [], [], str(x)
+        return ["burn"], [str(x)], [""]
     _burn.arrays_impl = _burn_arrays
     REGISTRY["cpuburn"] = _burn
 

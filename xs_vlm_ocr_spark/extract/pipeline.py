@@ -40,16 +40,21 @@ def _norm(text: str) -> str:
 def extract_doc_arrays(
     kinds: Sequence[str], texts: Sequence[str],
     refs: Sequence[str], offs: Sequence[int],
-) -> tuple[list[str], list[str], list[str], str]:
+) -> tuple[list[str], list[str], list[str]]:
     """THE single-doc extraction semantic, over parallel primitive arrays
     (the exact shape Arrow hands the Spark stage) -> (out_kinds,
-    out_texts, out_refs, full_text). Output index IS the dense `order`.
+    out_texts, out_refs). Output index IS the dense `order`.
 
     This is the allocation-lean hot-loop form: no per-span dicts are
     built in either direction (at 32 workers per socket the per-doc
     CPython allocation traffic is what saturates the memory bus — see
     BENCH/BASELINE.md). ``extract_doc`` is a thin dict adapter over this
     function, so the golden tests pin the same code path the UDF runs.
+    The full-text merge is NOT done here: the Spark stage computes it
+    JVM-side from o_texts (operators/extraction.py) so the text bytes
+    cross the Arrow boundary once, not twice; the pure-Python rule lives
+    in ``merge_full_text`` and the two are pinned equal by
+    tests/test_end_to_end.py::test_golden_span_equality.
     """
     order = sorted(range(len(kinds)), key=offs.__getitem__)
     out_kinds: list[str] = []
@@ -81,20 +86,14 @@ def extract_doc_arrays(
             k_app("media"); t_app(""); r_app(refs[i] or "")  # noqa: E702
         # unknown kinds are dropped (validity is filtered upstream)
     flush_pdf()
-
-    # same rule as merge_full_text (parity pinned by
-    # tests/test_end_to_end.py::test_golden_span_equality)
-    full_text = "\n".join(
-        t for k, t in zip(out_kinds, out_texts) if k == "text" and t
-    )
-    return out_kinds, out_texts, out_refs, full_text
+    return out_kinds, out_texts, out_refs
 
 
 def extract_doc(spans: Sequence[Span]) -> list[OutSpan]:
     """Extract one document's input spans into ordered output spans
     (dict-span adapter over ``extract_doc_arrays`` — one implementation,
     two calling conventions)."""
-    out_kinds, out_texts, out_refs, _ = extract_doc_arrays(
+    out_kinds, out_texts, out_refs = extract_doc_arrays(
         [s["kind"] for s in spans],
         [s["text"] for s in spans],
         [s["media_ref"] for s in spans],

@@ -30,7 +30,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xs_vlm_ocr_spark.extract.pipeline import extract_doc, merge_full_text
+from xs_vlm_ocr_spark.extract.pipeline import extract_doc
 
 DEFAULT_MODEL = "main_content_v1"
 
@@ -116,12 +116,12 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
     raw_ddl = (
         "doc_id string, success boolean, error_message string, "
         "o_kinds array<string>, o_texts array<string>, o_refs array<string>, "
-        "full_text string, model_name string, content_hash string, "
+        "model_name string, content_hash string, "
         "processing_time_ms long, "
         "lineage struct<partition_id:int,docs_in:long,docs_out:long,span_count:long,wall_ms:long>"
     )
     cols = ["doc_id", "success", "error_message", "o_kinds", "o_texts", "o_refs",
-            "full_text", "model_name", "content_hash", "processing_time_ms", "lineage"]
+            "model_name", "content_hash", "processing_time_ms", "lineage"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -134,7 +134,6 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
             c_ok: list = []     # success
             c_err: list = []    # error_message
             c_k: list = []; c_t: list = []; c_r: list = []  # noqa: E702
-            c_full: list = []
             c_ms: list = []
             for doc_id, kinds, texts, refs, offs in zip(
                 pdf["doc_id"], pdf["_kinds"], pdf["_texts"], pdf["_refs"],
@@ -144,13 +143,12 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
                 t0 = time.monotonic_ns()
                 try:
                     if arrays_fn is not None:
-                        out_k, out_t, out_r, full = arrays_fn(kinds, texts, refs, offs)
+                        out_k, out_t, out_r = arrays_fn(kinds, texts, refs, offs)
                     else:
                         out = extract_fn([
                             {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
                             for k, t, r, o in zip(kinds, texts, refs, offs)
                         ])
-                        full = merge_full_text(out)
                         out_k = [s["kind"] for s in out]
                         out_t = [s["text"] for s in out]
                         out_r = [s["media_ref"] for s in out]
@@ -159,26 +157,26 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
                         c_ok.append(False)
                         c_err.append(f"timeout: {elapsed} ms > budget {timeout_ms} ms")
                         c_k.append([]); c_t.append([]); c_r.append([])  # noqa: E702
-                        c_full.append(""); c_ms.append(elapsed)  # noqa: E702
+                        c_ms.append(elapsed)
                         continue
                     docs_out += 1
                     span_count += len(out_k)
                     c_ok.append(True); c_err.append("")  # noqa: E702
                     c_k.append(out_k); c_t.append(out_t); c_r.append(out_r)  # noqa: E702
-                    c_full.append(full); c_ms.append(elapsed)  # noqa: E702
+                    c_ms.append(elapsed)
                 except Exception as exc:  # failure isolation: error rows, never raise
                     elapsed = (time.monotonic_ns() - t0) // 1_000_000
                     c_ok.append(False)
                     c_err.append(f"{type(exc).__name__}: {exc}"[:500])
                     c_k.append([]); c_t.append([]); c_r.append([])  # noqa: E702
-                    c_full.append(""); c_ms.append(elapsed)  # noqa: E702
+                    c_ms.append(elapsed)
             if c_ok:
                 n = len(c_ok)
                 yield pd.DataFrame({
                     "doc_id": pdf["doc_id"].to_numpy(),  # raw array: no index alignment
                     "success": c_ok, "error_message": c_err,
                     "o_kinds": c_k, "o_texts": c_t, "o_refs": c_r,
-                    "full_text": c_full, "model_name": [model_name] * n,
+                    "model_name": [model_name] * n,
                     "content_hash": pdf["content_hash"].to_numpy(),
                     "processing_time_ms": c_ms, "lineage": [None] * n,
                 })
@@ -186,7 +184,7 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
         lineage = {"partition_id": pid, "docs_in": docs_in, "docs_out": docs_out,
                    "span_count": span_count, "wall_ms": wall_ms}
         yield pd.DataFrame(
-            [(None, None, None, None, None, None, None, None, None, None, lineage)],
+            [(None, None, None, None, None, None, None, None, None, lineage)],
             columns=cols,
         )
 
@@ -200,10 +198,29 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
             i.cast("int").alias("order"),
         ),
     )
+    # full-text merge JVM-side (same rule as extract.pipeline
+    # merge_full_text; cross-implementation parity pinned by
+    # tests/test_end_to_end.py): the document's text bytes cross the
+    # Arrow boundary once as o_texts instead of twice — at 32 workers
+    # per socket the Arrow transport is the measured bandwidth
+    # bottleneck (BENCH/BASELINE.md noop control). NULL arrays (the
+    # lineage marker row) propagate to NULL; error rows ([] arrays)
+    # join to "" — both exactly the python stage's old output.
+    full_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.arrays_zip("o_kinds", "o_texts"),
+                lambda s: (s["o_kinds"] == F.lit("text")) & (s["o_texts"] != F.lit("")),
+            ),
+            lambda s: s["o_texts"],
+        ),
+        "\n",
+    )
     return raw.select(
         "doc_id", "success", "error_message",
         F.when(F.col("doc_id").isNotNull(), spans_out).alias("spans_out"),
-        "full_text", "model_name", "content_hash", "processing_time_ms", "lineage",
+        full_text.alias("full_text"),
+        "model_name", "content_hash", "processing_time_ms", "lineage",
     )
 
 
