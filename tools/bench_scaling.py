@@ -270,6 +270,9 @@ RUN_HISTORY: list[dict] = [
     {"run": "2026-08-17 a", "commit": "866704d", "ceiling": 0.783,
      "pair28": (0.892, 0.939), "real82": (0.425, 0.457),
      "burn": 0.674, "noop": 0.243},
+    {"run": "2026-08-17 b", "commit": "11e533c", "ceiling": 0.849,
+     "pair28": (0.924, 0.954), "real82": (0.488, 0.502),
+     "burn": 0.665, "noop": 0.135},
 ]
 
 
