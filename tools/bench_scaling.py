@@ -273,6 +273,9 @@ RUN_HISTORY: list[dict] = [
     {"run": "2026-08-17 b", "commit": "11e533c", "ceiling": 0.849,
      "pair28": (0.924, 0.954), "real82": (0.488, 0.502),
      "burn": 0.665, "noop": 0.135},
+    {"run": "2026-08-17 c", "commit": "8e6f9a0", "ceiling": 0.728,
+     "pair28": (0.895, 0.941), "real82": (0.422, 0.429),
+     "burn": 0.614, "noop": 0.136},
 ]
 
 
