@@ -280,7 +280,11 @@ def _check_flagship_fixture(sf_dir):
         recorded = ""
         if os.path.exists(sidecar):
             with open(sidecar) as f:
-                recorded = f.read().split()[1]
+                # labeled field (md5=<hex>); tolerate the legacy
+                # positional "<path> <md5> ..." layout
+                toks = f.read().split()
+                labeled = [t[4:] for t in toks if t.startswith("md5=")]
+                recorded = labeled[0] if labeled else (toks[1] if len(toks) > 1 else "")
         if not os.path.exists(fixture) or cur != recorded:
             print(
                 f"[extract_flagship] WARNING: oracle fixture is STALE or missing "

@@ -42,6 +42,11 @@ def main() -> None:
     # getOrCreate just attaches (local fallback for direct python runs)
     spark = SparkSession.builder.appName("xs_vlm_ocr_spark_job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # pin the session TZ regardless of the submitting host's config: the
+    # committed `ts` stamp is a naive datetime whose epoch depends on this
+    # setting, and cross-host runs against one output dir must agree on
+    # recency ordering (cache_hits / latest_per_key order by ts DESC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     docs = spark.read.parquet(args.input)
     job = ExtractionJob(args.output, model_name=args.model,

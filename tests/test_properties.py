@@ -40,10 +40,14 @@ def test_extract_doc_invariants(spans):
                 if s["kind"] == "media"]
     media_out = [s["media_ref"] for s in out if s["kind"] == "media"]
     assert media_out == media_in
-    # text spans are whitespace-canonical and non-empty
+    # text spans are whitespace-canonical (pinned-class _norm for plain
+    # text spans; html segments are canonical under strip_html's own
+    # rule, which implies _norm-idempotence too) and non-empty
+    from xs_vlm_ocr_spark.extract.pipeline import _norm
+
     for s in out:
         if s["kind"] == "text":
-            assert s["text"] == " ".join(s["text"].split()) and s["text"]
+            assert _norm(s["text"]) == s["text"] and s["text"]
         assert s["kind"] in ("text", "media")
 
 

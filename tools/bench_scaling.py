@@ -123,11 +123,12 @@ class Worker:
         self.cores = cores
         self.errlog = os.path.join(
             tempfile.gettempdir(), f"bench_scaling_{cores}_{model}.stderr")
+        self._errfile = open(self.errlog, "w")  # closed in quit()
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", WORKER % {"repo": REPO},
              str(cores), str(n_docs), model],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=open(self.errlog, "w"), text=True,
+            stderr=self._errfile, text=True,
         )
         while True:
             line = self._readline(self.CMD_TIMEOUT)
@@ -178,6 +179,8 @@ class Worker:
             self.proc.wait(timeout=60)
         except Exception:
             self.proc.kill()
+        finally:
+            self._errfile.close()  # pair retries would otherwise leak fds
 
 
 def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int,

@@ -105,8 +105,10 @@ def main() -> None:
         ).stdout.strip()
     except Exception:
         git_hash = "unknown"
+    # labeled fields: a positional parse would read the wrong token if
+    # the source path ever contains whitespace
     with open(out + ".input_md5", "w") as f:
-        f.write(f"{src} {md5} generator_git={git_hash}\n")
+        f.write(f"md5={md5} src={src} generator_git={git_hash}\n")
     print(f"wrote {len(doc_ids)} expected rows -> {out} "
           f"(input md5 {md5}, generator git {git_hash})")
 

@@ -24,6 +24,7 @@ SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Mapping, Sequence
 
 from xs_vlm_ocr_spark.extract.html_strip import strip_html
@@ -32,9 +33,25 @@ from xs_vlm_ocr_spark.extract.xycut import xycut_paragraphs
 Span = Mapping  # kind, text, media_ref, offset
 OutSpan = dict  # kind, text, media_ref, order
 
+# The engine-wide whitespace contract: one explicit ASCII class, shared
+# by every tokenizer/normalizer in BOTH languages (Python here; Spark/
+# DuckDB via operators.text_analysis.WS_RE, built from this constant).
+# A bare str.split()/\s+ would silently disagree across engines: Python
+# str.split also breaks on \x1c-\x1f/\x85/NBSP, Java \s+ includes \x0B
+# but RE2 (DuckDB) does not. Pinning the class here makes `_norm` (the
+# text-span extraction semantic) expressible JVM-side as
+# trim(regexp_replace(text, WS_RE, ' ')) with exact parity — which is
+# what lets the Arrow-bypass plan keep plain-text spans out of Python
+# entirely (operators.extraction).
+WS_CHARS = r" \t\n\r\f\x0b"
+_WS = re.compile(f"[{WS_CHARS}]+")
+
 
 def _norm(text: str) -> str:
-    return " ".join(text.split())
+    """Collapse pinned-class whitespace runs to single spaces and strip
+    the edges. Exactly trim(regexp_replace(text, WS_RE, ' ')) in Spark —
+    parity pinned by tests/test_properties.py over every BMP codepoint."""
+    return _WS.sub(" ", text).strip(" ")
 
 
 def extract_doc_arrays(

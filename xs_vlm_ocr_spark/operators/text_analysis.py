@@ -24,8 +24,11 @@ LANG_MARKERS: dict[str, list[str]] = {
 # RE2 (DuckDB) \s == [\t\n\f\r ] (no \x0B), so a bare \s+ in Spark vs the
 # oracle SQL would disagree on vertical-tab input. Every tokenizing
 # operator AND its DuckDB oracle (__spark_entry__.py) use THESE constants
-# so the semantics are identical by construction.
-WS_CHARS = r" \t\n\r\f\x0b"
+# so the semantics are identical by construction. The single source of
+# truth lives in extract.pipeline (pure-Python layer) so the Python-side
+# tokenizers/normalizers share the exact same class.
+from xs_vlm_ocr_spark.extract.pipeline import WS_CHARS  # noqa: E402
+
 WS_RE = f"[{WS_CHARS}]+"
 
 _WORD_BOUNDARY = f"(^|[{WS_CHARS}]){{w}}([{WS_CHARS}]|$)"

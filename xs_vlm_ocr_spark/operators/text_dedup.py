@@ -21,12 +21,15 @@ splitmix64 in the UDF — no Python hash() anywhere.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from xs_vlm_ocr_spark.extract.pipeline import WS_CHARS
 
 # ------------------------------------------------------------ shingling
 
@@ -291,14 +294,36 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _doc_shingle_hashes(text: str, n: int) -> np.ndarray:
-    import hashlib
+_WS_SPLIT = re.compile(f"[{WS_CHARS}]+")
 
-    toks = text.lower().split()
+
+def _tokenize(text: str) -> list[str]:
+    """Exact Python mirror of the JVM tokenizer
+    ``split(lower(trim(text)), WS_RE)``: trim strips ASCII spaces only,
+    the split class is the pinned WS_CHARS, and Spark's split (limit -1)
+    KEEPS leading/trailing empty tokens — so does re.split. Pinned
+    against the JVM by tests/test_text_dedup.py (exotic-whitespace gram
+    parity): the default and portable-twin paths now differ ONLY in hash
+    family, never in tokenization."""
+    return _WS_SPLIT.split(text.strip(" ").lower())
+
+
+def _doc_grams(text: str, n: int) -> list[str]:
+    """Word n-grams over ``_tokenize`` — the same gram strings (and the
+    same ``g != ''`` filter) as the JVM ``with_word_gram_strings``;
+    parity pinned by tests/test_text_dedup.py."""
+    toks = _tokenize(text)
     if len(toks) < n:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return [g for g in grams if g]
+
+
+def _doc_shingle_hashes(text: str, n: int) -> np.ndarray:
+    import hashlib
+
+    grams = _doc_grams(text, n)
     if not grams:
         return np.zeros(0, dtype=np.uint64)
     # blake2b (C speed, deterministic, unsalted) -> 8-byte gram keys

@@ -21,17 +21,19 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xs_vlm_ocr_spark.extract.pipeline import extract_doc
+from xs_vlm_ocr_spark.extract.pipeline import _norm, extract_doc
 from xs_vlm_ocr_spark.schemas import STRATEGIES_SCHEMA
 
 # engine-name -> single-doc extractor (spans -> ordered out-spans).
 # "main_content_v1" is the full pipeline; the others expose the stages
 # individually (useful for stage-level golden tests and A/B strategies).
+# Whitespace normalization everywhere is the pinned-class _norm (the
+# engine-wide contract — see extract.pipeline.WS_CHARS).
 REGISTRY = {
     "main_content_v1": extract_doc,
     "passthrough": lambda spans: [
         {"kind": "media" if s["kind"] == "media" else "text",
-         "text": "" if s["kind"] == "media" else " ".join((s["text"] or "").split()),
+         "text": "" if s["kind"] == "media" else _norm(s["text"] or ""),
          "media_ref": s["media_ref"] or "", "order": i}
         for i, s in enumerate(sorted(spans, key=lambda s: s["offset"]))
     ],
