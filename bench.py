@@ -21,6 +21,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Per-timed-run 1-min loadavg + raw seconds, keyed by query — the VM has
+# minute-scale co-tenant load drift (±15% with 3-8x outliers, see
+# BENCH/BASELINE.md), and without a load stamp a slow run cannot be told
+# apart from a real regression (round-3 verdict What's-wrong #1).
+_LOADS: dict[str, list[float]] = {}
+_RUN_SECS: dict[str, list[float]] = {}
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # corpus sized to the sf tier: sf0.1 -> 50k interleaved docs (big enough
 # that per-job fixed overhead (~1.5-2 s: scheduling, Arrow setup, python
@@ -54,9 +61,12 @@ def _extract_bench(spark) -> tuple[float, int]:
     one_pass(gen_docs_df(spark, max(200, N_DOCS // 100)))  # warmup
     best = float("inf")
     for _ in range(runs):  # same sample count as the per-query protocol
+        _LOADS.setdefault("extract_corpus", []).append(round(os.getloadavg()[0], 1))
         t0 = time.monotonic()
         n_out = one_pass(docs)
         best = min(best, time.monotonic() - t0)
+        _RUN_SECS.setdefault("extract_corpus", []).append(
+            round(time.monotonic() - t0, 3))
         assert n_out == n, (n_out, n)
     docs.unpersist()
     return best, n
@@ -102,9 +112,12 @@ def main() -> None:
             queries[name](spark, WARM_DIR).count()
         best = float("inf")
         for _ in range(RUNS):
+            _LOADS.setdefault(name, []).append(round(os.getloadavg()[0], 1))
             t0 = time.monotonic()
             queries[name](spark, SF_DIR).count()
-            best = min(best, time.monotonic() - t0)
+            sec = time.monotonic() - t0
+            _RUN_SECS.setdefault(name, []).append(round(sec, 3))
+            best = min(best, sec)
         qtimes[name] = round(best, 3)
 
     total = round(sum(qtimes.values()), 3)
@@ -122,6 +135,11 @@ def main() -> None:
                     "cores": CPUS,
                     "runs_per_query": RUNS,
                     "agg": "min",
+                    # loadavg at the START of each timed run + that run's
+                    # raw seconds (same order) — a regressed min with a
+                    # high load stamp is host noise, not the engine
+                    "loadavg_per_run": _LOADS,
+                    "secs_per_run": _RUN_SECS,
                 },
             }
         )
