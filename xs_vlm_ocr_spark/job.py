@@ -47,13 +47,18 @@ def stamp_results(results: DataFrame, run_id: str, committed_at: datetime,
                   batch-append analogue of the reference's per-INSERT
                   CURRENT_TIMESTAMP; recency ordering needs run
                   granularity, which this preserves exactly);
-      * id      — xxhash64(run_id, content_hash): unique within a run by
-                  construction (runs are deduped on content_hash) and
+      * id      — md5(run_id <US> content_hash) hex: unique within a run
+                  by construction (runs are deduped on content_hash) and
                   across runs via run_id, with NO global coordination —
                   the distributed stand-in for SQLite AUTOINCREMENT (a
                   global row_number would serialize 100 TB on one
                   reducer; on a real cluster an Iceberg identity column
-                  plays this role);
+                  plays this role). 128 bits keeps accidental collisions
+                  negligible at the 10^12-row design scale (birthday
+                  bound ~ (10^12)^2 / 2^129 ≈ 1.5e-15; a 64-bit hash
+                  would already expect ~10^5 collisions there). The hex
+                  string orders lexicographically, which is all the
+                  pagination/latest-per-key tiebreak needs;
       * source  — ingest channel tag (reference upload|paste|shortcut|
                   dragdrop; batch jobs stamp their configured channel);
       * media_ref — first media span of the doc (the reference history
@@ -63,7 +68,7 @@ def stamp_results(results: DataFrame, run_id: str, committed_at: datetime,
         F.filter(F.col("spans_out"), lambda s: s["kind"] == F.lit("media")), 0
     )["media_ref"]
     return results.select(
-        F.xxhash64(F.lit(run_id), F.col("content_hash")).alias("id"),
+        F.md5(F.concat_ws("\x1f", F.lit(run_id), F.col("content_hash"))).alias("id"),
         F.lit(committed_at).cast("timestamp").alias("ts"),
         media_ref.alias("media_ref"),
         F.lit(source).alias("source"),

@@ -85,7 +85,10 @@ EXTRACTION_OUTPUT_SCHEMA = T.StructType(
 # on the engine's own committed output (tests/test_results_history.py).
 RESULTS_SCHEMA = T.StructType(
     [
-        T.StructField("id", T.LongType(), False),
+        # 128-bit content-derived id (md5 hex of run_id + content_hash,
+        # job.stamp_results) — collision-safe at 10^12 rows, unlike a
+        # 64-bit hash; lexicographic order serves the (ts, id) tiebreak
+        T.StructField("id", T.StringType(), False),
         T.StructField("ts", T.TimestampType(), False),
         T.StructField("media_ref", T.StringType(), True),
         T.StructField("source", T.StringType(), True),      # upload|paste|shortcut|dragdrop
