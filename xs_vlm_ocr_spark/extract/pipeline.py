@@ -54,56 +54,131 @@ def _norm(text: str) -> str:
     return _WS.sub(" ", text).strip(" ")
 
 
-def extract_doc_arrays(
-    kinds: Sequence[str], texts: Sequence[str],
-    refs: Sequence[str], offs: Sequence[int],
-) -> tuple[list[str], list[str], list[str]]:
-    """THE single-doc extraction semantic, over parallel primitive arrays
-    (the exact shape Arrow hands the Spark stage) -> (out_kinds,
-    out_texts, out_refs). Output index IS the dense `order`.
+# Kind codes for the bypass calling convention: int32 arrays cross the
+# Arrow boundary far cheaper than repeated kind strings.
+KIND_HTML, KIND_PDF, KIND_TEXT, KIND_MEDIA = 1, 2, 3, 4
+KIND_CODE = {"html": KIND_HTML, "pdf_line": KIND_PDF,
+             "text": KIND_TEXT, "media": KIND_MEDIA}
 
-    This is the allocation-lean hot-loop form: no per-span dicts are
-    built in either direction (at 32 workers per socket the per-doc
-    CPython allocation traffic is what saturates the memory bus — see
-    BENCH/BASELINE.md). ``extract_doc`` is a thin dict adapter over this
-    function, so the golden tests pin the same code path the UDF runs.
-    The full-text merge is NOT done here: the Spark stage computes it
-    JVM-side from o_texts (operators/extraction.py) so the text bytes
-    cross the Arrow boundary once, not twice; the pure-Python rule lives
-    in ``merge_full_text`` and the two are pinned equal by
-    tests/test_end_to_end.py::test_golden_span_equality.
+
+def extract_doc_bypass(
+    codes: Sequence[int], offs: Sequence[int],
+    heavy: Sequence[str | None], blanks: Sequence[bool],
+) -> tuple[list[str | None], list[int]]:
+    """The Python half of the extraction split — ONLY the spans that
+    genuinely need Python (html boilerplate strip, pdf XY-cut) carry
+    their bytes here; `text`/`media` spans are placeholders resolved
+    JVM-side (operators.extraction), so a document's plain text never
+    crosses the Arrow boundary in either direction (at 32 workers per
+    socket that transport is the measured scaling bottleneck —
+    BENCH/BASELINE.md noop control; reference analogue: the adapters
+    ship only the image payload, never already-known metadata,
+    reference src/adapters/QwenAdapter.cpp:99-125).
+
+    Inputs are parallel arrays over the doc's spans:
+      codes  — KIND_CODE per span (0 = unknown, dropped);
+      offs   — byte offsets (ordering key, stable by input index);
+      heavy  — span text for html/pdf_line spans, None otherwise;
+      blanks — for text spans: True iff _norm(text) == '' (computed
+               JVM-side; a blank text span emits nothing).
+
+    Returns (o_texts, o_src), index-aligned output slots in reading
+    order: a Python-produced slot has o_texts[j] = extracted text and
+    o_src[j] = -1; a passthrough slot (text/media span) has
+    o_texts[j] = None and o_src[j] = the INPUT span index, which the
+    assembly stage resolves against the original span array.
     """
-    order = sorted(range(len(kinds)), key=offs.__getitem__)
-    out_kinds: list[str] = []
-    out_texts: list[str] = []
-    out_refs: list[str] = []
-    k_app, t_app, r_app = out_kinds.append, out_texts.append, out_refs.append
+    order = sorted(range(len(codes)), key=offs.__getitem__)
+    o_texts: list[str | None] = []
+    o_src: list[int] = []
+    t_app, s_app = o_texts.append, o_src.append
     pdf_run: list[str] = []
 
     def flush_pdf() -> None:
         if pdf_run:
             for para in xycut_paragraphs(pdf_run):
-                k_app("text"); t_app(para); r_app("")  # noqa: E702
+                t_app(para); s_app(-1)  # noqa: E702
             pdf_run.clear()
 
     for i in order:
-        kind = kinds[i]
-        if kind == "pdf_line":
-            pdf_run.append(texts[i] or "")
+        code = codes[i]
+        if code == KIND_PDF:
+            pdf_run.append(heavy[i] or "")
             continue
         flush_pdf()
-        if kind == "html":
-            for seg in strip_html(texts[i] or ""):
-                k_app("text"); t_app(seg); r_app("")  # noqa: E702
-        elif kind == "text":
-            txt = _norm(texts[i] or "")
-            if txt:
-                k_app("text"); t_app(txt); r_app("")  # noqa: E702
-        elif kind == "media":
-            k_app("media"); t_app(""); r_app(refs[i] or "")  # noqa: E702
+        if code == KIND_HTML:
+            for seg in strip_html(heavy[i] or ""):
+                t_app(seg); s_app(-1)  # noqa: E702
+        elif code == KIND_TEXT:
+            if not blanks[i]:
+                t_app(None); s_app(i)  # noqa: E702
+        elif code == KIND_MEDIA:
+            t_app(None); s_app(i)  # noqa: E702
         # unknown kinds are dropped (validity is filtered upstream)
     flush_pdf()
+    return o_texts, o_src
+
+
+def assemble_spans(
+    kinds: Sequence[str], texts: Sequence[str], refs: Sequence[str],
+    o_texts: Sequence[str | None], o_src: Sequence[int],
+) -> tuple[list[str], list[str], list[str]]:
+    """The assembly half of the split, as a pure function: resolve the
+    bypass stage's passthrough slots against the original spans. The
+    Spark plan evaluates EXACTLY this rule as a Catalyst transform()
+    (operators.extraction._assemble_cols) — cross-implementation parity
+    is pinned end-to-end by tests/test_end_to_end.py golden equality
+    and per-codepoint by the _norm parity test."""
+    out_kinds: list[str] = []
+    out_texts: list[str] = []
+    out_refs: list[str] = []
+    for t, s in zip(o_texts, o_src):
+        if s >= 0:
+            if kinds[s] == "media":
+                out_kinds.append("media")
+                out_texts.append("")
+                out_refs.append(refs[s] or "")
+            else:
+                out_kinds.append("text")
+                out_texts.append(_norm(texts[s] or ""))
+                out_refs.append("")
+        else:
+            out_kinds.append("text")
+            out_texts.append(t or "")
+            out_refs.append("")
     return out_kinds, out_texts, out_refs
+
+
+def extract_doc_arrays(
+    kinds: Sequence[str], texts: Sequence[str],
+    refs: Sequence[str], offs: Sequence[int],
+) -> tuple[list[str], list[str], list[str]]:
+    """THE single-doc extraction semantic, over parallel primitive arrays
+    -> (out_kinds, out_texts, out_refs). Output index IS the dense
+    `order`.
+
+    Defined as the mask -> bypass -> assemble composition, so the pure
+    oracle and the Spark plan (JVM mask, Python bypass, JVM assemble)
+    share one implementation by construction — never forked.
+    ``extract_doc`` is a thin dict adapter over this function, so the
+    golden tests pin the same code path the UDF runs. The full-text
+    merge is NOT done here: the Spark stage computes it JVM-side from
+    the assembled spans so text bytes cross the Arrow boundary zero
+    times (plain text) or once (html/pdf payloads); the pure-Python rule
+    lives in ``merge_full_text`` and the two are pinned equal by
+    tests/test_end_to_end.py::test_golden_span_equality.
+    """
+    codes = [KIND_CODE.get(k, 0) for k in kinds]
+    heavy = [
+        texts[i] if codes[i] in (KIND_HTML, KIND_PDF) else None
+        for i in range(len(codes))
+    ]
+    blanks = [
+        codes[i] == KIND_TEXT and not _norm(texts[i] or "")
+        for i in range(len(codes))
+    ]
+    o_texts, o_src = extract_doc_bypass(codes, offs, heavy, blanks)
+    return assemble_spans(kinds, texts, refs, o_texts, o_src)
 
 
 def extract_doc(spans: Sequence[Span]) -> list[OutSpan]:
@@ -122,8 +197,13 @@ def extract_doc(spans: Sequence[Span]) -> list[OutSpan]:
     ]
 
 
-# the Spark stage dispatches to the arrays form when the registered
-# strategy provides one (operators.extraction.extract_spans)
+# Spark-stage dispatch markers (operators.extraction.extract_spans):
+#   bypass_impl — the Arrow-bypass calling convention (preferred: only
+#                 html/pdf bytes cross into Python); implies the
+#                 canonical assemble_spans contract on the JVM side;
+#   arrays_impl — parallel-primitive-array full convention (legacy
+#                 ship-everything path, used by custom strategies).
+extract_doc.bypass_impl = extract_doc_bypass
 extract_doc.arrays_impl = extract_doc_arrays
 
 

@@ -48,19 +48,10 @@ SPAN_OUT = T.StructType(
     ]
 )
 
-LINEAGE_STRUCT = T.StructType(
-    [
-        T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("docs_in", T.LongType(), False),
-        T.StructField("docs_out", T.LongType(), False),
-        T.StructField("span_count", T.LongType(), False),
-        T.StructField("wall_ms", T.LongType(), False),
-    ]
-)
-
-# Combined output of the extraction mapInPandas stage: one row per doc plus
-# one trailing lineage row per partition (doc_id NULL, lineage set). Split
-# downstream by `operators.extraction.split_extraction_output`.
+# Combined output of the extraction stage: one row per doc, carrying two
+# narrow per-row lineage columns (partition_id, cum_wall_ms) that
+# `operators.extraction.split_extraction_output` aggregates into the
+# per-partition LINEAGE rows — no marker rows, no second pass.
 EXTRACTION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), True),
@@ -71,7 +62,8 @@ EXTRACTION_OUTPUT_SCHEMA = T.StructType(
         T.StructField("model_name", T.StringType(), True),
         T.StructField("content_hash", T.StringType(), True),
         T.StructField("processing_time_ms", T.LongType(), True),
-        T.StructField("lineage", LINEAGE_STRUCT, True),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("cum_wall_ms", T.LongType(), True),
     ]
 )
 
@@ -130,6 +122,5 @@ EXTRACTION_OUTPUT_DDL = (
     "doc_id string, success boolean, error_message string, "
     "spans_out array<struct<kind:string,text:string,media_ref:string,order:int>>, "
     "full_text string, model_name string, content_hash string, "
-    "processing_time_ms long, "
-    "lineage struct<partition_id:int,docs_in:long,docs_out:long,span_count:long,wall_ms:long>"
+    "processing_time_ms long, partition_id int, cum_wall_ms long"
 )
