@@ -32,13 +32,19 @@ WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); model = sys.argv[3]
+shape = sys.argv[4] if len(sys.argv) > 4 else "corpus"
 import os
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 from xs_vlm_ocr_spark.session import get_spark
-from xs_vlm_ocr_spark.corpus import gen_docs_df
+from xs_vlm_ocr_spark.corpus import gen_docs_df, gen_interleave_docs_df
 from xs_vlm_ocr_spark.operators.extraction import (
     extract_spans, split_extraction_output, valid_docs, with_content_hash)
 from xs_vlm_ocr_spark.operators.skew import repartition_by_doc_length
+
+if shape == "interleave":
+    # driver-shaped docs (html boilerplate + media + plain text span):
+    # the workload where the Arrow-bypass transport cut is largest
+    gen_docs_df = gen_interleave_docs_df
 
 if model == "noop":
     # identity extractor: the SAME plan (scan -> hash -> repartition ->
@@ -119,14 +125,14 @@ class Worker:
     CMD_TIMEOUT = 600.0
 
     def __init__(self, cores: int, n_docs: int,
-                 model: str = "main_content_v1") -> None:
+                 model: str = "main_content_v1", shape: str = "corpus") -> None:
         self.cores = cores
         self.errlog = os.path.join(
-            tempfile.gettempdir(), f"bench_scaling_{cores}_{model}.stderr")
+            tempfile.gettempdir(), f"bench_scaling_{cores}_{model}_{shape}.stderr")
         self._errfile = open(self.errlog, "w")  # closed in quit()
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", WORKER % {"repo": REPO},
-             str(cores), str(n_docs), model],
+             str(cores), str(n_docs), model, shape],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=self._errfile, text=True,
         )
@@ -184,8 +190,10 @@ class Worker:
 
 
 def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int,
-                 model: str = "main_content_v1", _retry: bool = True) -> dict:
-    wl, wh = Worker(n, n_docs, model), Worker(n4, n_docs, model)
+                 model: str = "main_content_v1", shape: str = "corpus",
+                 _retry: bool = True) -> dict:
+    wl = Worker(n, n_docs, model, shape)
+    wh = Worker(n4, n_docs, model, shape)
     try:
         wl.run(); wh.run()  # warmup: JVM JIT + python worker pool spin-up
         t0_lo, t0_hi = wl.t0(), wh.t0()  # per-level fixed overhead
@@ -201,9 +209,9 @@ def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int,
         wl.quit(); wh.quit()
         if not _retry:
             raise
-        print(f"[bench_scaling] retrying pair {n}->{n4} ({model})",
+        print(f"[bench_scaling] retrying pair {n}->{n4} ({model}/{shape})",
               file=sys.stderr, flush=True)
-        return measure_pair(n, n4, n_docs, n_pairs, model, _retry=False)
+        return measure_pair(n, n4, n_docs, n_pairs, model, shape, _retry=False)
     finally:
         wl.quit(); wh.quit()
     pair_effs = [lo["sec"] / hi["sec"] / 4.0 for lo, hi in zip(lows, highs)]
@@ -218,7 +226,7 @@ def measure_pair(n: int, n4: int, n_docs: int, n_pairs: int,
     best_lo = min(r["sec"] for r in lows)
     best_hi = min(r["sec"] for r in highs)
     return {
-        "n": n, "n4": n4, "n_docs": n_docs, "model": model,
+        "n": n, "n4": n4, "n_docs": n_docs, "model": model, "shape": shape,
         "t0_lo": t0_lo, "t0_hi": t0_hi,
         "lows": lows, "highs": highs, "pair_effs": pair_effs,
         "adj_effs": adj_effs,
@@ -289,6 +297,11 @@ def main() -> None:
     results = [
         measure_pair(2, 8, n_docs // 2, n_pairs),
         measure_pair(8, 32, n_docs, n_pairs),
+        # driver-shaped interleave docs (html boilerplate + media + plain
+        # text): the workload where the Arrow-bypass transport cut is
+        # largest (~46%% of boundary bytes — tools/transport_bytes.py);
+        # docs are smaller, so 2x the count keeps per-core work comparable
+        measure_pair(8, 32, n_docs * 2, n_pairs, shape="interleave"),
         # engine-overhead CONTROL at the contested pair: identity extract,
         # same plan/serde, zero per-token python compute
         measure_pair(8, 32, n_docs, n_pairs, model="noop"),
@@ -299,7 +312,9 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
 
     def _tag(r):
-        return " — noop CONTROL" if r["model"] == "noop" else ""
+        if r["model"] == "noop":
+            return " — noop CONTROL"
+        return " — interleave-shaped" if r.get("shape") == "interleave" else ""
 
     def _tag2(r):
         return " — cpu-burn CONTROL" if r["model"] == "cpuburn" else _tag(r)
@@ -331,13 +346,20 @@ def main() -> None:
     table = "\n".join(rows)
 
     real_82 = next(r for r in results
-                   if r["n"] == 8 and r["model"] == "main_content_v1")
+                   if r["n"] == 8 and r["model"] == "main_content_v1"
+                   and r.get("shape") == "corpus")
+    il_82 = next((r for r in results if r.get("shape") == "interleave"), None)
     noop = next((r for r in results if r["model"] == "noop"), None)
     burn = next((r for r in results if r["model"] == "cpuburn"), None)
+    def _il(h):
+        return (f'{h["il82"][0]:.3f} / {h["il82"][1]:.3f}'
+                if h.get("il82") else "—")
+
     hist_rows = [
         f'| {h["run"]} | {h["commit"]} | {h["ceiling"]:.3f} | '
         f'{h["pair28"][0]:.3f} / {h["pair28"][1]:.3f} | '
-        f'{h["real82"][0]:.3f} / {h["real82"][1]:.3f} | {h["burn"]:.3f} '
+        f'{h["real82"][0]:.3f} / {h["real82"][1]:.3f} | {_il(h)} | '
+        f'{h["burn"]:.3f} '
         f'({h["burn"] / h["ceiling"]:.0%}) | {h["noop"]:.3f} |'
         for h in RUN_HISTORY
     ]
@@ -345,6 +367,8 @@ def main() -> None:
         f'| this run | HEAD | {ceiling["ceiling"]:.3f} | '
         f'{results[0]["median_eff"]:.3f} / {results[0]["median_adj_eff"]:.3f} | '
         f'{real_82["median_eff"]:.3f} / {real_82["median_adj_eff"]:.3f} | '
+        + (f'{il_82["median_eff"]:.3f} / {il_82["median_adj_eff"]:.3f} | '
+           if il_82 is not None else "— | ")
         + (f'{burn["median_adj_eff"]:.3f} '
            f'({burn["median_adj_eff"] / ceiling["ceiling"]:.0%}) | '
            if burn is not None else "— | ")
@@ -386,8 +410,8 @@ comes from:
 **Run history** (every committed full run of this tool, oldest first;
 the per-run raw data for each is in git history at the listed commit):
 
-| run | commit | host ceiling | 2->8 raw/adj | 8->32 raw/adj | cpu-burn adj (of ceiling) | noop adj |
-|---|---|---|---|---|---|---|
+| run | commit | host ceiling | 2->8 raw/adj | 8->32 raw/adj | 8->32 interleave raw/adj | cpu-burn adj (of ceiling) | noop adj |
+|---|---|---|---|---|---|---|---|
 {hist_md}
 
 Reading: this run's cpu-burn control reaches **{frac:.0%}** of its
@@ -415,6 +439,34 @@ no error). The harness detects silence, kills the pair and remeasures
 (`Worker.CMD_TIMEOUT`); on a real cluster `spark.speculation`
 re-launches exactly this straggler, and the extraction stage is a pure
 function so speculative duplicates are safe.""")
+    # Arrow-transport accounting (written by tools/transport_bytes.py
+    # into BENCH/transport_bytes.json; deterministic, no timing)
+    tb_path = os.path.join(REPO, "BENCH", "transport_bytes.json")
+    if os.path.exists(tb_path):
+        with open(tb_path) as f:
+            tb = [json.loads(line) for line in f if line.strip()]
+        tb_rows = "\n".join(
+            f'| {t["workload"]} | {t["shipall_in_bytes"]:,} | '
+            f'{t["bypass_in_bytes"]:,} | {t["shipall_out_bytes"]:,} | '
+            f'{t["bypass_out_bytes"]:,} | **{t["total_reduction"]:.1%}** |'
+            for t in tb
+        )
+        parts.append(f"""
+**Arrow-transport accounting** (tools/transport_bytes.py — bytes that
+cross the JVM<->Python boundary, computed from the data, per design):
+
+| workload | ship-all in | bypass in | ship-all out | bypass out | total cut |
+|---|---|---|---|---|---|
+{tb_rows}
+
+The round-4 Arrow-bypass plan (operators/extraction.py) keeps plain-text
+span payloads and media refs out of Python entirely; html/pdf payloads
+still cross (strip_html/XY-cut are the Python stage). On the synthetic
+scaling corpus (45% html / 35% pdf by doc count, payload-dominated)
+the cut is small; on the driver-shaped interleave — the BASELINE.json
+input_hint shape, where each doc's body rode the boundary twice — it
+removes about half the boundary bytes, which is what the interleave
+scaling pair above exercises.""")
     control_md = "\n".join(parts)
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 

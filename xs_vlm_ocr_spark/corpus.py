@@ -199,3 +199,52 @@ def gen_docs_df(spark, n_docs: int, seed: int = DEFAULT_SEED, skewed: bool = Fal
 def write_corpus(spark, out_dir: str, n_docs: int, seed: int = DEFAULT_SEED,
                  skewed: bool = False, partitions: int | None = None) -> None:
     gen_docs_df(spark, n_docs, seed, skewed, partitions).write.mode("overwrite").parquet(out_dir)
+
+
+# ------------------------------------------- driver-shaped interleave
+
+def gen_interleave_doc(doc_id: str, seed: int = DEFAULT_SEED) -> dict:
+    """One doc in the DRIVER's interleaved shape (BASELINE.json
+    input_hint, mirrored by __spark_entry__._interleave_documents): an
+    html span wrapping the body in nav/footer boilerplate, a media span,
+    and a plain-text span repeating the body. This is the workload where
+    the Arrow-bypass transport cut is largest (the body crosses the
+    boundary zero extra times instead of twice — tools/
+    transport_bytes.py), used by the scaling bench's interleave pair."""
+    rng = _rng(seed, doc_id)
+    body = _paragraph(rng, rng.randint(8, 24))
+    html = (
+        '<nav><ul><li><a href="#">home</a></li><li><a href="#">about</a></li>'
+        '<li><a href="#">contact</a></li></ul></nav><article><p>'
+        + body
+        + "</p></article><footer><p>footer text</p></footer>"
+    )
+    ref = f"img://{doc_id}/0"
+    off1 = len(html.encode("utf-8")) + 1
+    off2 = off1 + len(ref) + 1
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": "html", "text": html, "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": ref, "offset": off1},
+            {"kind": "text", "text": body, "media_ref": "", "offset": off2},
+        ],
+    }
+
+
+def gen_interleave_docs_df(spark, n_docs: int, seed: int = DEFAULT_SEED,
+                           partitions: int | None = None):
+    num_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [gen_interleave_doc(doc_id_for(int(i)), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [d["doc_id"] for d in docs],
+                 "spans": [d["spans"] for d in docs]}
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=num_parts)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )
