@@ -123,3 +123,37 @@ def test_replay_hits_reemits_cached_rows_with_zero_time(spark, tmp_path_factory)
     # lineage shows only the second half was actually extracted
     lin2 = replayer.read_lineage(spark).filter(f"run_id = '{r2}'")
     assert lin2.agg({"docs_in": "sum"}).first()[0] == N_DOCS // 2
+
+
+def test_replay_plan_scans_input_once(spark, tmp_path_factory):
+    """Round-3 Missing #2: replay used to re-read and re-hash the whole
+    input for the hit probe — a second full pass at 100 TB. The replay
+    plan now marks hits inline (left join + is_hit) and probes from the
+    STAGED output, so the extraction plan contains exactly ONE scan of
+    the input source, same as a plain run."""
+    import re
+
+    from xs_vlm_ocr_spark.corpus import gen_docs_local
+    from xs_vlm_ocr_spark.schemas import DOCS_SCHEMA
+
+    base = tmp_path_factory.mktemp("replay_one_scan")
+    inp = str(base / "docs_parquet")
+    spark.createDataFrame(gen_docs_local(30), DOCS_SCHEMA).write.parquet(inp)
+    docs = spark.read.parquet(inp)
+
+    job = ExtractionJob(str(base / "out"), replay_hits=True)
+    job.run(spark, docs)  # first run commits everything
+
+    qe = job.plan(spark, docs)._jdf.queryExecution()
+    plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    # one FileScan node per distinct scan of the input path (the
+    # optimized-plan string elides locations; the physical one shows them)
+    n_scans = len(re.findall("docs_parquet", plan))
+    assert n_scans == 1, f"input scanned {n_scans}x:\n{plan[:3000]}"
+
+    # and the replay e2e still doubles history rows, with run 2 doing
+    # ZERO extraction work (every row is a replayed hit)
+    r2 = job.run(spark, docs)
+    assert job.read_results(spark).count() == 60
+    lin2 = job.read_lineage(spark).filter(f"run_id = '{r2}'")
+    assert (lin2.agg({"docs_in": "sum"}).first()[0] or 0) == 0

@@ -109,7 +109,16 @@ class ExtractionJob:
         pass as the extraction (no second scan of the input; reference
         skip counting, MainWindow.cpp:1361-1375). The skew split's
         cold/hot branches sit above the dropDuplicates exchange, so the
-        observed subtree executes exactly once (ReusedExchange)."""
+        observed subtree executes exactly once (ReusedExchange).
+
+        In replay mode the anti-join becomes a LEFT join that MARKS
+        committed hashes (`is_hit`) instead of dropping them: hit rows
+        ride the same single pass with their spans blanked (the hash is
+        already computed; nothing else is needed — no heavy bytes enter
+        the shuffle or the Python stage, the UDF sees an empty doc), so
+        the staged output itself is the replay probe and the input is
+        scanned ONCE — previously the probe re-read and re-hashed the
+        whole input, a second full pass at 100 TB."""
         from xs_vlm_ocr_spark.operators.skew import doc_length_stats
 
         n_parts = target_partitions or spark.sparkContext.defaultParallelism * 3
@@ -131,13 +140,36 @@ class ExtractionJob:
         # whole upstream twice)
         stats = doc_length_stats(valid, sample_fraction=self.skew_sample_fraction)
         jobs = with_content_hash(valid, self.model_name)
-        jobs = filter_uncached(jobs, self.results.read(spark))
+        committed = self.results.read(spark)
+        passthrough: list[str] = []
+        if self.replay_hits:
+            from xs_vlm_ocr_spark.operators.dedup import committed_hashes
+
+            passthrough = ["is_hit"]
+            if committed is None:
+                jobs = jobs.withColumn("is_hit", F.lit(False))
+            else:
+                hashes = committed_hashes(committed).withColumn("_hit", F.lit(True))
+                jobs = jobs.join(hashes, "content_hash", "left")
+                jobs = jobs.withColumn(
+                    "is_hit", F.coalesce(F.col("_hit"), F.lit(False))
+                ).drop("_hit")
+                spans_type = jobs.schema["spans"].dataType
+                jobs = jobs.withColumn(
+                    "spans",
+                    F.when(~F.col("is_hit"), F.col("spans")).otherwise(
+                        F.array().cast(spans_type)
+                    ),
+                )
+        else:
+            jobs = filter_uncached(jobs, committed)
         # within-batch dedup: one compute per content_hash (reference D1 —
         # identical (doc, strategy) submitted twice runs once); rows with
         # equal hash are byte-identical, so any winner is deterministic
         jobs = jobs.dropDuplicates(["content_hash"])
         jobs = repartition_by_doc_length(jobs, n_parts, stats=stats)
-        return extract_spans(jobs, self.model_name, timeout_ms=self.timeout_ms)
+        return extract_spans(jobs, self.model_name, timeout_ms=self.timeout_ms,
+                             passthrough=passthrough)
 
     def run(self, spark: SparkSession, docs: DataFrame,
             run_id: str | None = None, target_partitions: int | None = None,
@@ -160,22 +192,27 @@ class ExtractionJob:
             return run_id  # crash point: nothing committed, table unchanged
 
         staged = spark.read.parquet(staging)
-        results, lineage = split_extraction_output(staged)
-        if committed_before is not None:
+        if self.replay_hits and "is_hit" in staged.columns:
             # reference hit path (MainWindow.cpp:1650-1659): for input
             # hashes already committed, re-emit the latest successful
             # result as a new history row with processing_time_ms=0.
-            # The probe re-hashes the input (a second cheap JVM-side
-            # scan; the extraction pass itself still runs once).
-            probe = with_content_hash(valid_docs(docs), self.model_name)
-            hits = cache_hits(probe.select("content_hash"), committed_before)
-            results = results.unionByName(
-                hits.select(
-                    "doc_id", "success", "error_message", "spans_out",
-                    "full_text", "model_name", "content_hash",
-                    "processing_time_ms",
-                )
+            # The probe reads the STAGED marks — the input itself was
+            # scanned exactly once, in the staging pass.
+            probe = staged.filter(F.col("is_hit")).select("content_hash")
+            results, lineage = split_extraction_output(
+                staged.filter(~F.col("is_hit")).drop("is_hit")
             )
+            hits = cache_hits(probe, committed_before)
+            if hits is not None:
+                results = results.unionByName(
+                    hits.select(
+                        "doc_id", "success", "error_message", "spans_out",
+                        "full_text", "model_name", "content_hash",
+                        "processing_time_ms",
+                    )
+                )
+        else:
+            results, lineage = split_extraction_output(staged)
         self.results.append(
             stamp_results(results, run_id, committed_at, self.source), run_id
         )

@@ -103,7 +103,8 @@ def with_content_hash(docs: DataFrame, model_name: str = DEFAULT_MODEL) -> DataF
 
 
 def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
-                  timeout_ms: int | None = None) -> DataFrame:
+                  timeout_ms: int | None = None,
+                  passthrough: list[str] | None = None) -> DataFrame:
     """docs(doc_id, spans[, content_hash]) -> extraction-output rows
     (EXTRACTION_OUTPUT_SCHEMA): one row per doc, carrying per-row
     lineage columns (partition_id, cum_wall_ms); aggregate with
@@ -122,6 +123,9 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
     registered single-doc extractor; unknown names use the default.
     Strategies exposing ``bypass_impl`` run the Arrow-bypass plan;
     arrays/dict-convention strategies fall back to ship-all mapInPandas.
+
+    ``passthrough``: extra narrow columns of ``docs`` (e.g. the replay
+    path's ``is_hit`` flag) carried verbatim onto the output rows.
     """
     if "content_hash" not in docs.columns:
         docs = with_content_hash(docs, model_name)
@@ -129,9 +133,10 @@ def extract_spans(docs: DataFrame, model_name: str = DEFAULT_MODEL,
 
     extract_fn = REGISTRY.get(model_name, extract_doc)
     bypass_fn = getattr(extract_fn, "bypass_impl", None)
+    pt = passthrough or []
     if bypass_fn is not None:
-        return _extract_spans_bypass(docs, bypass_fn, model_name, timeout_ms)
-    return _extract_spans_shipall(docs, extract_fn, model_name, timeout_ms)
+        return _extract_spans_bypass(docs, bypass_fn, model_name, timeout_ms, pt)
+    return _extract_spans_shipall(docs, extract_fn, model_name, timeout_ms, pt)
 
 
 # ------------------------------------------------------- bypass plan
@@ -248,7 +253,8 @@ def _assemble_col(keep: Column, res: Column) -> Column:
 
 
 def _extract_spans_bypass(docs: DataFrame, bypass_fn, model_name: str,
-                          timeout_ms: int | None) -> DataFrame:
+                          timeout_ms: int | None,
+                          passthrough: list[str] = ()) -> DataFrame:
     spans = F.col("spans")
     # One lower projection evaluates every spans-derived column (so a
     # COMPUTED spans expression — e.g. the flagship interleave — is
@@ -314,23 +320,27 @@ def _extract_spans_bypass(docs: DataFrame, bypass_fn, model_name: str,
         F.col("_x.ms").alias("processing_time_ms"),
         F.spark_partition_id().alias("partition_id"),
         F.col("_x.cum_wall_ms").alias("cum_wall_ms"),
+        *passthrough,
     )
     return assembled.select(
         "doc_id", "success", "error_message", "spans_out",
         full_text_col(F.col("spans_out")).alias("full_text"),
         "model_name", "content_hash", "processing_time_ms",
-        "partition_id", "cum_wall_ms",
+        "partition_id", "cum_wall_ms", *passthrough,
     )
 
 
 # ------------------------------------------------- ship-all fallback
 
 def _extract_spans_shipall(docs: DataFrame, extract_fn, model_name: str,
-                           timeout_ms: int | None) -> DataFrame:
+                           timeout_ms: int | None,
+                           passthrough: list[str] = ()) -> DataFrame:
     """mapInPandas fallback for custom strategies without a bypass form:
     every span crosses the Arrow boundary as four parallel primitive
     arrays (still no per-span dicts when the strategy exposes
-    ``arrays_impl``); output spans are rebuilt JVM-side."""
+    ``arrays_impl``); output spans are rebuilt JVM-side. Passthrough
+    columns ride through the Python stage verbatim (mapInPandas output
+    replaces its input, so they must cross)."""
     src = docs.select(
         "doc_id",
         F.col("spans.kind").alias("_kinds"),
@@ -338,14 +348,19 @@ def _extract_spans_shipall(docs: DataFrame, extract_fn, model_name: str,
         F.col("spans.media_ref").alias("_refs"),
         F.col("spans.offset").alias("_offs"),
         "content_hash",
+        *passthrough,
     )
     arrays_fn = getattr(extract_fn, "arrays_impl", None)
 
+    pt_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in docs.schema.fields if f.name in set(passthrough)
+    )
     raw_ddl = (
         "doc_id string, success boolean, error_message string, "
         "o_kinds array<string>, o_texts array<string>, o_refs array<string>, "
         "model_name string, content_hash string, "
-        "processing_time_ms long, partition_id int, cum_wall_ms long"
+        "processing_time_ms long, partition_id int, cum_wall_ms long" + pt_ddl
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -391,7 +406,7 @@ def _extract_spans_shipall(docs: DataFrame, extract_fn, model_name: str,
             if c_ok:
                 n = len(c_ok)
                 cum = int((time.monotonic() - t_start) * 1000)
-                yield pd.DataFrame({
+                cols = {
                     "doc_id": pdf["doc_id"].to_numpy(),  # raw array: no index alignment
                     "success": c_ok, "error_message": c_err,
                     "o_kinds": c_k, "o_texts": c_t, "o_refs": c_r,
@@ -399,7 +414,10 @@ def _extract_spans_shipall(docs: DataFrame, extract_fn, model_name: str,
                     "content_hash": pdf["content_hash"].to_numpy(),
                     "processing_time_ms": c_ms,
                     "partition_id": [pid] * n, "cum_wall_ms": [cum] * n,
-                })
+                }
+                for name in passthrough:
+                    cols[name] = pdf[name].to_numpy()
+                yield pd.DataFrame(cols)
 
     raw = src.mapInPandas(run, schema=raw_ddl)
     spans_out = F.transform(
@@ -426,7 +444,7 @@ def _extract_spans_shipall(docs: DataFrame, extract_fn, model_name: str,
         spans_out.alias("spans_out"),
         full_text.alias("full_text"),
         "model_name", "content_hash", "processing_time_ms",
-        "partition_id", "cum_wall_ms",
+        "partition_id", "cum_wall_ms", *passthrough,
     )
 
 
