@@ -56,7 +56,12 @@ def _extract_bench(spark) -> tuple[float, int]:
     def one_pass(src):
         jobs = repartition_by_doc_length(with_content_hash(valid_docs(src)), CPUS * 3)
         results, _ = split_extraction_output(extract_spans(jobs))
-        return results.count()
+        # noop write: fully evaluates EVERY output column without disk.
+        # A bare count() silently column-prunes the whole extraction UDF
+        # out of the plan (the bypass stage is a projected column, not a
+        # row source like mapInPandas) and measures an empty scan.
+        results.write.format("noop").mode("overwrite").save()
+        return results.count()  # cheap pruned pass, kept for the assert
 
     one_pass(gen_docs_df(spark, max(200, N_DOCS // 100)))  # warmup
     best = float("inf")

@@ -102,6 +102,9 @@ def run_src(src, n_expect):
     t0 = time.monotonic()
     jobs = repartition_by_doc_length(with_content_hash(valid_docs(src), model), cores * 3)
     results, _ = split_extraction_output(extract_spans(jobs, model))
+    # noop write fully evaluates every column; a bare count() would
+    # column-prune the bypass UDF out of the plan and time an empty scan
+    results.write.format("noop").mode("overwrite").save()
     n = results.count()
     assert n == n_expect
     return time.monotonic() - t0
@@ -313,10 +316,11 @@ def main() -> None:
         # largest (~49% of boundary bytes — tools/transport_bytes.py);
         # docs are smaller, so 2x the count keeps per-core work comparable
         measure_pair(8, 32, n_docs * 2, n_pairs, shape="interleave"),
-        # A/B control: identical semantics forced onto the legacy
-        # ship-everything path — what the bypass buys, same shape
+        # A/B controls: identical semantics forced onto the legacy
+        # ship-everything path — what the bypass buys/costs, per shape
         measure_pair(8, 32, n_docs * 2, n_pairs, model="shipall",
                      shape="interleave"),
+        measure_pair(8, 32, n_docs, n_pairs, model="shipall"),
         # engine-overhead CONTROL at the contested pair: identity extract,
         # same plan/serde, zero per-token python compute
         measure_pair(8, 32, n_docs, n_pairs, model="noop"),
@@ -332,7 +336,7 @@ def main() -> None:
         if r.get("shape") == "interleave":
             return (" — interleave-shaped, ship-all CONTROL"
                     if r["model"] == "shipall" else " — interleave-shaped")
-        return ""
+        return " — ship-all CONTROL" if r["model"] == "shipall" else ""
 
     def _tag2(r):
         return " — cpu-burn CONTROL" if r["model"] == "cpuburn" else _tag(r)
