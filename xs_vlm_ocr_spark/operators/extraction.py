@@ -236,7 +236,7 @@ def _assemble_col(keep: Column, res: Column) -> Column:
     def pick(zs: Column, i: Column) -> Column:
         sp = F.get(keep, zs["s"])
         is_pass = zs["s"] >= 0
-        is_media = is_pass & (sp["kind"] == F.lit("media"))
+        is_media = is_pass & (sp["code"] == F.lit(KIND_MEDIA))
         kind = F.when(is_media, F.lit("media")).otherwise(F.lit("text"))
         text = (
             F.when(is_media, F.lit(""))
@@ -260,11 +260,14 @@ def _extract_spans_bypass(docs: DataFrame, bypass_fn, model_name: str,
     # COMPUTED spans expression — e.g. the flagship interleave — is
     # evaluated once per row, CollapseProject keeps the boundary), and
     # the original spans column is DROPPED before the Python stage:
-    #   _keep  — pruned per-span carry (kind, pre-normed text for text
-    #            spans, ref for media spans). ArrowEvalPython buffers
-    #            every input row JVM-side to join with the UDF output;
-    #            carrying html/pdf payloads through that buffer would
-    #            waste the bytes the bypass saves, so they end here.
+    #   _keep  — pruned per-span carry (kind CODE, pre-normed text for
+    #            text spans, ref for media spans). ArrowEvalPython
+    #            buffers every input row JVM-side to join with the UDF
+    #            output; carrying html/pdf payloads through that buffer
+    #            would waste the bytes the bypass saves, so they end
+    #            here. The kind-string CASE runs in this ONE pass; every
+    #            later consumer (codes arg, blank flags, assembly) works
+    #            on the int code / materialized fields.
     #   _heavy — html/pdf payloads (the ONLY string bytes that cross).
     #   _offs  — ordering key.
     # norm runs HERE, exactly once per text span; the blank flags and
@@ -272,7 +275,13 @@ def _extract_spans_bypass(docs: DataFrame, bypass_fn, model_name: str,
     keep = F.transform(
         spans,
         lambda s: F.struct(
-            s["kind"].alias("kind"),
+            F.when(s["kind"] == F.lit("html"), KIND_HTML)
+            .when(s["kind"] == F.lit("pdf_line"), KIND_PDF)
+            .when(s["kind"] == F.lit("text"), KIND_TEXT)
+            .when(s["kind"] == F.lit("media"), KIND_MEDIA)
+            .otherwise(0)
+            .cast("int")
+            .alias("code"),
             F.when(
                 s["kind"] == F.lit("text"),
                 norm_col(F.coalesce(s["text"], F.lit(""))),
@@ -289,17 +298,10 @@ def _extract_spans_bypass(docs: DataFrame, bypass_fn, model_name: str,
         {"_keep": keep, "_heavy": heavy, "_offs": spans["offset"]}
     ).drop("spans")
     kcol = F.col("_keep")
-    codes = F.transform(
-        kcol,
-        lambda k: F.when(k["kind"] == F.lit("html"), KIND_HTML)
-        .when(k["kind"] == F.lit("pdf_line"), KIND_PDF)
-        .when(k["kind"] == F.lit("text"), KIND_TEXT)
-        .when(k["kind"] == F.lit("media"), KIND_MEDIA)
-        .otherwise(0)
-        .cast("int"),
-    )
+    codes = kcol["code"]  # GetArrayStructFields: no per-span lambda eval
     blanks = F.transform(
-        kcol, lambda k: (k["kind"] == F.lit("text")) & (k["ntext"] == F.lit(""))
+        kcol,
+        lambda k: (k["code"] == F.lit(KIND_TEXT)) & (k["ntext"] == F.lit("")),
     )
     udf = _bypass_udf(bypass_fn, timeout_ms)
     out = pre.withColumn("_x", udf(codes, F.col("_offs"), F.col("_heavy"), blanks))
