@@ -168,6 +168,14 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     ],
     "extract_flagship": [
         ("python payload is an Arrow-batched stage", _arrow_python_stage),
+        # the Arrow-bypass UDF must appear EXACTLY once: optimizer rules
+        # (InferFiltersFromGenerate + pushdown) once duplicated it under
+        # the explode, running the whole extraction twice
+        ("extraction python stage evaluated exactly once",
+         lambda p: p.count("ArrowEvalPython") + p.count("MapInPandas") == 1),
+        # plain-text span payloads stay out of Python: the UDF input is
+        # the pruned carry (_keep/_heavy), never the raw spans.text blob
+        ("bypass plan (pruned _keep carry feeds the UDF)", _has("_keep")),
     ],
     "events_cube": [
         ("cube lowered to Expand + hash aggregation",
