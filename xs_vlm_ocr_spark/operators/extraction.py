@@ -227,10 +227,10 @@ def full_text_col(spans_out: Column) -> Column:
 def _assemble_col(keep: Column, res: Column) -> Column:
     """spans_out — the Catalyst twin of
     ``extract.pipeline.assemble_spans``: resolve passthrough slots
-    (src >= 0) against the PRUNED span array ``_keep`` (kind, pre-normed
-    text, media ref — html/pdf payload bytes are not carried past the
-    Python stage at all). F.get is 0-based and NULL-safe for the -1
-    sentinel (no ANSI element_at error)."""
+    (src >= 0) against the PRUNED span array ``_keep`` (int kind code,
+    pre-normed text, media ref — html/pdf payload bytes are not carried
+    past the Python stage at all). F.get is 0-based and NULL-safe for
+    the -1 sentinel (no ANSI element_at error)."""
     z = F.arrays_zip(res["texts"].alias("t"), res["src"].alias("s"))
 
     def pick(zs: Column, i: Column) -> Column:
@@ -310,8 +310,7 @@ def _extract_spans_bypass(docs: DataFrame, bypass_fn, model_name: str,
     # spans_out column, so the (non-cheap, interpreted — higher-order
     # functions have no codegen) assembly expression is evaluated once
     # per row; CollapseProject keeps the boundary because the alias is
-    # referenced twice (tests/test_extraction_bypass.py pins the single
-    # evaluation via the optimized-plan project count)
+    # referenced twice
     assembled = out.select(
         "doc_id",
         F.col("_x.err").isNull().alias("success"),
