@@ -485,6 +485,26 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup: new batch (doc_id % 5 = 0) probed against a
+    committed minhash_band_index of the rest of the corpus. Signatures
+    are computed once per side, candidates come from a (band, bucket)
+    equi-join against the index — committed text is never re-read at
+    ingest time (the 100 TB ingestion primitive)."""
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_probe_index,
+    )
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    committed = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_band_index(committed, num_perm=16, bands=4)
+    return minhash_probe_index(new, idx, num_perm=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
 def _q_simhash_near(spark, sf_dir):
     """SimHash near-pairs, oracle-checked end-to-end via the portable
     md5-derived 60-bit hash (simhash_near_pairs_portable); the
@@ -785,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "incremental_minhash_probe": _q_incremental_minhash,
         "simhash_near_pairs": _q_simhash_near,
         "media_decode": _q_media_decode,
         "strategy_inheritance": _q_strategy_inheritance,
@@ -991,6 +1012,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
               FROM buckets x JOIN buckets y USING (band, bucket)
               WHERE x.doc_id < y.doc_id
+            )
+            SELECT c.a, c.b,
+                   CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+                     / 16.0 AS est_jaccard
+            FROM cand c
+            JOIN mins ma ON ma.doc_id = c.a
+            JOIN mins mb ON mb.doc_id = c.b AND mb.i = ma.i
+            GROUP BY c.a, c.b
+            HAVING CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+                     / 16.0 >= 0.5
+        """,
+        "incremental_minhash_probe": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            mins AS (
+              SELECT doc_id, p.i AS i,
+                     min(CAST(('0x' || substr(
+                           md5(CAST(p.i AS VARCHAR) || '|' || g), 1, 15))
+                         AS BIGINT)) AS m
+              FROM grams, LATERAL (SELECT unnest(range(0, 16)) AS i) AS p
+              GROUP BY doc_id, p.i
+            ),
+            buckets AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM buckets x JOIN buckets y USING (band, bucket)
+              WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+                AND x.doc_id <> y.doc_id
             )
             SELECT c.a, c.b,
                    CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)

@@ -286,3 +286,38 @@ def test_tokenize_matches_spec_hypothesis():
         assert _tokenize(text) == spec(text), repr(text)
 
     check()
+
+
+def test_minhash_index_probe_incremental(corpus_df, spark):
+    """Incremental near-dup: a committed minhash_band_index probed with a
+    new batch finds planted clones WITHOUT recomputing index signatures,
+    and equals the full portable pairs restricted to cross pairs."""
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs_portable,
+        minhash_probe_index,
+    )
+
+    new_ids = {"d900", "d901", "d902"}
+    committed = corpus_df.filter(~F.col("doc_id").isin(*new_ids))
+    new = corpus_df.filter(F.col("doc_id").isin(*new_ids))
+
+    idx = minhash_band_index(committed, num_perm=16, bands=4)
+    got = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in minhash_probe_index(new, idx, num_perm=16, bands=4).collect()}
+    # d900/d902 are clones of indexed d000; d901 is a one-word edit
+    assert got.get(("d000", "d900")) == 1.0
+    assert got.get(("d000", "d902")) == 1.0
+    assert got.get(("d000", "d901"), 0) > 0.5
+
+    # consistency: probe == full-pairs restricted to (committed, new)
+    full = minhash_lsh_pairs_portable(corpus_df, num_perm=16, bands=4)
+    cross = {}
+    for r in full.collect():
+        a, b = r["a"], r["b"]
+        if (a in new_ids) != (b in new_ids):
+            key = (b, a) if a in new_ids else (a, b)
+            cross[key] = r["est_jaccard"]
+    assert got == cross

@@ -107,6 +107,10 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("whole-stage codegen (md5 family all-JVM)", _codegen),
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
     ],
+    "incremental_minhash_probe": [
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+        ("index probe is a (band,bucket) equi join", _equi_join),
+    ],
     "simhash_near_pairs": [
         ("no python UDF anywhere in the plan (portable twin)", _absent("PythonUDF")),
     ],

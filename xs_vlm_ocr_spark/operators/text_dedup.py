@@ -194,27 +194,22 @@ def with_word_gram_strings(df: DataFrame, text_col: str = "text", n: int = 3,
     )
 
 
-def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
-                               id_col: str = "doc_id", num_perm: int = 16,
-                               bands: int = 4, n: int = 3) -> DataFrame:
-    """Oracle-portable banded MinHash LSH — ALL JVM-side, no Python.
-
-    Identical algorithm to minhash_lsh_pairs (signature -> bands ->
-    bucket equi-join -> per-pair Jaccard estimate), but every hash is
-    md5-derived so DuckDB can reproduce the exact values:
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 16,
+                       bands: int = 4, n: int = 3) -> DataFrame:
+    """The PERSISTABLE near-dup index: (doc_id, sig, band, bucket) rows,
+    md5-hash family, ALL JVM-side:
 
       h_i(g)   = CAST(first 15 hex chars of md5('<i>|' || g) AS BIGINT)
       sig[i]   = min over the doc's distinct word n-grams of h_i(g)
       bucket   = md5 of the comma-joined band slice of sig
-      pairs    = docs sharing any (band, bucket), a < b
-      est      = fraction of equal signature positions (k/num_perm,
-                 exact in binary -> bit-stable across engines)
 
-    Trade-off vs the default: num_perm md5 calls per gram instead of one
-    vectorized xxhash pipeline — heavier per row but fully codegen'd
-    (often competitive with the Arrow round-trip at moderate num_perm).
-    The pandas-UDF path stays the high-num_perm default; THIS variant is
-    what the driver contract value-checks end-to-end.
+    At 100 TB this is the growing corpus-side artifact: committed once
+    per ingested increment (bands per doc, partitionable by bucket), so
+    deduping a NEW batch against the whole corpus never re-reads or
+    re-hashes committed text — see ``minhash_probe_index``. The md5
+    family (not xxhash/blake2b) is deliberate for a PERSISTED index: any
+    engine (Spark, DuckDB, Trino) can rebuild or probe it bit-exactly.
     """
     grams = with_word_gram_strings(df, text_col, n, id_col)
     h = F.conv(
@@ -233,10 +228,10 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
         mins.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
         .select("doc_id", F.expr("transform(_sm, s -> s.m)").alias("sig"))
-        .persist()  # feeds the banding explode AND both est sides
+        .persist()  # feeds the banding explode AND the est sides
     )
     rows = num_perm // bands
-    banded = sig.select(
+    return sig.select(
         "doc_id", "sig",
         F.explode(
             F.array(*[
@@ -256,19 +251,77 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
-                      "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
-                      "band", "bucket")
-    est = F.aggregate(
+
+
+def _sig_est(num_perm: int):
+    """Fraction of equal signature positions (k/num_perm — exact in
+    binary, bit-stable across engines) between siga and sigb columns."""
+    return F.aggregate(
         F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(num_perm))
+
+
+def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", num_perm: int = 16,
+                               bands: int = 4, n: int = 3) -> DataFrame:
+    """Oracle-portable banded MinHash LSH — ALL JVM-side, no Python.
+
+    Identical algorithm to minhash_lsh_pairs (signature -> bands ->
+    bucket equi-join -> per-pair Jaccard estimate), but every hash is
+    md5-derived so DuckDB can reproduce the exact values (see
+    ``minhash_band_index`` for the hash construction):
+
+      pairs    = docs sharing any (band, bucket), a < b
+      est      = fraction of equal signature positions
+
+    Trade-off vs the default: num_perm md5 calls per gram instead of one
+    vectorized xxhash pipeline — heavier per row but fully codegen'd
+    (often competitive with the Arrow round-trip at moderate num_perm).
+    The pandas-UDF path stays the high-num_perm default; THIS variant is
+    what the driver contract value-checks end-to-end.
+    """
+    banded = minhash_band_index(df, text_col, id_col, num_perm, bands, n)
+    a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
+                      "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
+                      "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", _sig_est(num_perm))
+        .groupBy("a", "b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 16, bands: int = 4,
+                        n: int = 3) -> DataFrame:
+    """Incremental near-dup: (a = indexed doc, b = new doc, est_jaccard)
+    pairs between a NEW batch and a COMMITTED ``minhash_band_index``.
+
+    The 100 TB ingestion primitive: signatures are computed ONLY for the
+    new batch; candidates come from a (band, bucket) equi-join against
+    the stored index — the committed corpus text is never re-read, never
+    re-hashed, and no all-pairs comparison exists anywhere. Docs present
+    on both sides (same id) are not self-paired. ``index`` must have
+    been built with the SAME (num_perm, bands, n) — the signature length
+    is checked at runtime via the est expression's zip semantics
+    (zip_with stops at the shorter array; a mismatched index would
+    produce est > 1 or < full-range values caught by the planted tests).
+    """
+    probe = minhash_band_index(new_docs, text_col, id_col, num_perm, bands, n)
+    a = index.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
+                     "band", "bucket")
+    b = probe.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
+                     "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("est_jaccard", _sig_est(num_perm))
         .groupBy("a", "b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
