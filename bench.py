@@ -140,6 +140,11 @@ def main() -> None:
                     "cores": CPUS,
                     "runs_per_query": RUNS,
                     "agg": "min",
+                    # r4+: extract_corpus forces EVERY output column via a
+                    # noop write; earlier rounds' count() silently pruned
+                    # the JVM span assembly, so absolute extract numbers
+                    # before r4 are not comparable (BENCH/BASELINE.md)
+                    "forcing": "noop-write",
                     # loadavg at the START of each timed run + that run's
                     # raw seconds (same order) — a regressed min with a
                     # high load stamp is host noise, not the engine
