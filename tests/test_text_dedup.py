@@ -321,3 +321,28 @@ def test_minhash_index_probe_incremental(corpus_df, spark):
             key = (b, a) if a in new_ids else (a, b)
             cross[key] = r["est_jaccard"]
     assert got == cross
+
+
+def test_minhash_index_survives_parquet_roundtrip(corpus_df, spark, tmp_path_factory):
+    """The index is genuinely PERSISTABLE: write minhash_band_index to
+    parquet, read it back cold, probe — identical pairs. (The md5 hash
+    family means any engine could have written those rows.)"""
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_probe_index,
+    )
+
+    new_ids = {"d900", "d901", "d902"}
+    committed = corpus_df.filter(~F.col("doc_id").isin(*new_ids))
+    new = corpus_df.filter(F.col("doc_id").isin(*new_ids))
+
+    path = str(tmp_path_factory.mktemp("mh_index") / "index_parquet")
+    minhash_band_index(committed, num_perm=16, bands=4).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    live = minhash_band_index(committed, num_perm=16, bands=4)
+    got_stored = sorted(map(tuple, minhash_probe_index(new, stored).collect()))
+    got_live = sorted(map(tuple, minhash_probe_index(new, live).collect()))
+    assert got_stored == got_live and got_stored

@@ -320,11 +320,13 @@ def main() -> None:
         # driver-shaped interleave docs (html boilerplate + media + plain
         # text): the workload where the Arrow-bypass transport cut is
         # largest (~49% of boundary bytes — tools/transport_bytes.py);
-        # docs are smaller, so 2x the count keeps per-core work comparable
-        measure_pair(8, 32, n_docs * 2, n_pairs, shape="interleave"),
+        # docs are smaller, so 4x the count keeps per-core work comparable
+        # (run d used 2x; its 4N runs were short enough that overhead
+        # dominated the raw ratio — hence raw 0.469 vs adjusted 0.617)
+        measure_pair(8, 32, n_docs * 4, n_pairs, shape="interleave"),
         # A/B controls: identical semantics forced onto the legacy
         # ship-everything path — what the bypass buys/costs, per shape
-        measure_pair(8, 32, n_docs * 2, n_pairs, model="shipall",
+        measure_pair(8, 32, n_docs * 4, n_pairs, model="shipall",
                      shape="interleave"),
         measure_pair(8, 32, n_docs, n_pairs, model="shipall"),
         # engine-overhead CONTROL at the contested pair: identity extract,
