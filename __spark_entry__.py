@@ -207,6 +207,17 @@ def _q_dedup_exact_groups(spark, sf_dir):
     )
 
 
+def _q_dedup_exact_keep_first(spark, sf_dir):
+    # the REAL exact_dedup operator (keep-first winners, full rows) —
+    # registered so the plan audit pins its scale shape: map-side
+    # partial_min winner agg + composite-key semi-join, no hot-hash
+    # window (round-4 verdict What's-wrong #2)
+    from xs_vlm_ocr_spark.operators.dedup import exact_dedup
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text")
+
+
 def _q_dedup_cache_probe(spark, sf_dir):
     # D1/J2: the memoization / resume anti-join, via the real operator
     from xs_vlm_ocr_spark.operators.dedup import filter_uncached
@@ -790,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_stats": _q_char_stats,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep_first": _q_dedup_exact_keep_first,
         "dedup_cache_probe": _q_dedup_cache_probe,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
@@ -894,6 +906,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(substr(text, 1, 24)) AS h, count(*) AS n_dupes,
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_exact_keep_first": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                  FROM documents GROUP BY 1) w
+              ON md5(d.text) = w.h AND d.doc_id = w.doc_id
         """,
         "dedup_cache_probe": """
             SELECT doc_id FROM documents

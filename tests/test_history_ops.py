@@ -74,3 +74,35 @@ def test_exact_dedup_keeps_lowest_doc_id(spark):
     )
     kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
     assert kept == ["a", "c"]
+
+
+def test_exact_dedup_mega_cluster_plan(spark):
+    """Planted mega-dup cluster (10^5 copies of ONE text — the web-crawl
+    boilerplate shape): exact_dedup must stay a map-side-combining
+    groupBy + composite-key semi-join, never a window over the hash.
+
+    A row_number window partitioned by _h serializes the whole cluster
+    onto one reducer; the fixed plan (a) partially aggregates the
+    cluster to one row per map partition (partial_min below the
+    exchange) and (b) semi-joins on (_h, doc_id), whose hash spreads a
+    single-hash cluster across reducers. Deterministic plan assertions —
+    timing flakes on this VM (CLAUDE.md)."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n - 3, F.lit("boilerplate page"))
+        .otherwise(F.concat(F.lit("unique "), F.col("id"))).alias("full_text"),
+    )
+    out = exact_dedup(df)
+    rows = out.collect()
+    # 1 winner for the cluster (lowest id) + 3 unique tails
+    assert len(rows) == 4
+    assert min(r["doc_id"] for r in rows) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window [" not in plan, "hot-hash window is back"
+    assert "partial_min" in plan, "winner agg must map-side combine"
+    # the semi-join keys must include doc_id (composite key: a one-hash
+    # cluster hash-distributes instead of landing on one reducer)
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi and all("doc_id" in ln for ln in semi), plan

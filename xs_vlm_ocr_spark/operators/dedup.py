@@ -67,15 +67,22 @@ def cache_hits(jobs: DataFrame, results: DataFrame | None) -> DataFrame | None:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "full_text") -> DataFrame:
+def exact_dedup(df: DataFrame, text_col: str = "full_text",
+                id_col: str = "doc_id") -> DataFrame:
     """Exact text dedup: md5-groupBy keep-first (training-data pipeline
-    primitive). Deterministic winner: lowest doc_id per hash."""
-    from pyspark.sql import Window as W
+    primitive). Deterministic winner: lowest ``id_col`` per hash; rows of
+    ``id_col`` must be unique keys (they are doc ids).
 
+    Scale shape: groupBy+min does MAP-SIDE partial aggregation, so a
+    mega duplicate cluster (empty docs, boilerplate — the norm in web
+    crawl) collapses to one row per map partition before the shuffle;
+    the winner set then semi-joins back on the COMPOSITE (_h, id) key,
+    which hash-distributes even a single-hash cluster across reducers.
+    The previous row_number window over partitionBy(_h) serialized the
+    whole cluster onto one reducer — same groupBy-not-window rule as
+    text_dedup.py's doc-frequency aggregation. Pinned by
+    tests/test_history_ops.py::test_exact_dedup_mega_cluster_plan."""
     h = F.md5(F.col(text_col))
-    return (
-        df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(W.partitionBy("_h").orderBy("doc_id")))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
-    )
+    with_h = df.withColumn("_h", h)
+    winners = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return with_h.join(winners, ["_h", id_col], "left_semi").drop("_h")
