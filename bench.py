@@ -36,6 +36,17 @@ _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(500_000 * _SF))))
 
 
+def _force(df) -> None:
+    """Fully evaluate EVERY output column without disk.
+
+    A bare count() silently column-prunes expensive projected columns
+    (scalar pandas UDFs, span assembly, similarity math) out of the
+    measured plan — the r4 extract_corpus diagnosis applies to every
+    query whose hot columns aren't needed for row counting. The noop
+    sink is the canonical full-evaluation forcing write."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _extract_bench(spark) -> tuple[float, int]:
     """Flagship: synthetic corpus -> full extraction plan -> count.
 
@@ -56,11 +67,7 @@ def _extract_bench(spark) -> tuple[float, int]:
     def one_pass(src):
         jobs = repartition_by_doc_length(with_content_hash(valid_docs(src)), CPUS * 3)
         results, _ = split_extraction_output(extract_spans(jobs))
-        # noop write: fully evaluates EVERY output column without disk.
-        # A bare count() silently column-prunes the whole extraction UDF
-        # out of the plan (the bypass stage is a projected column, not a
-        # row source like mapInPandas) and measures an empty scan.
-        results.write.format("noop").mode("overwrite").save()
+        _force(results)
         return results.count()  # cheap pruned pass, kept for the assert
 
     one_pass(gen_docs_df(spark, max(200, N_DOCS // 100)))  # warmup
@@ -114,12 +121,12 @@ def main() -> None:
         "asof_join",
     ):
         if os.path.isdir(WARM_DIR) and WARM_DIR != SF_DIR:
-            queries[name](spark, WARM_DIR).count()
+            _force(queries[name](spark, WARM_DIR))
         best = float("inf")
         for _ in range(RUNS):
             _LOADS.setdefault(name, []).append(round(os.getloadavg()[0], 1))
             t0 = time.monotonic()
-            queries[name](spark, SF_DIR).count()
+            _force(queries[name](spark, SF_DIR))
             sec = time.monotonic() - t0
             _RUN_SECS.setdefault(name, []).append(round(sec, 3))
             best = min(best, sec)
@@ -140,11 +147,13 @@ def main() -> None:
                     "cores": CPUS,
                     "runs_per_query": RUNS,
                     "agg": "min",
-                    # r4+: extract_corpus forces EVERY output column via a
-                    # noop write; earlier rounds' count() silently pruned
-                    # the JVM span assembly, so absolute extract numbers
-                    # before r4 are not comparable (BENCH/BASELINE.md)
-                    "forcing": "noop-write",
+                    # r5+: EVERY benched query forces EVERY output column
+                    # via a noop write (r4 did so only for extract_corpus;
+                    # before that a bare count() column-pruned expensive
+                    # projections). Per-query numbers before r5 — and
+                    # extract numbers before r4 — are NOT comparable
+                    # (BENCH/BASELINE.md).
+                    "forcing": "noop-write-all-queries",
                     # loadavg at the START of each timed run + that run's
                     # raw seconds (same order) — a regressed min with a
                     # high load stamp is host noise, not the engine
