@@ -346,3 +346,63 @@ def test_minhash_index_survives_parquet_roundtrip(corpus_df, spark, tmp_path_fac
     got_stored = sorted(map(tuple, minhash_probe_index(new, stored).collect()))
     got_live = sorted(map(tuple, minhash_probe_index(new, live).collect()))
     assert got_stored == got_live and got_stored
+
+
+def test_minhash_probe_param_guard(corpus_df, spark):
+    """A persisted index probed with the WRONG (num_perm, bands, n)
+    must fail LOUDLY. Without the guard it fails silently: zip_with
+    NULL-pads the shorter signature (it does not stop), est_jaccard
+    goes NULL, and every est >= threshold consumer returns zero pairs.
+
+    Three layers: (1) stamp mismatch -> raise_error on the first index
+    row; (2) stamps stripped -> driver-side ValueError; (3) stamps
+    forged but signature length wrong -> _sig_est length guard."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_probe_index,
+    )
+
+    new_ids = {"d900", "d901", "d902"}
+    committed = corpus_df.filter(~F.col("doc_id").isin(*new_ids))
+    new = corpus_df.filter(F.col("doc_id").isin(*new_ids))
+
+    idx8 = minhash_band_index(committed, num_perm=8, bands=4)
+
+    # (1) stamped mismatch raises with the offending params in the message
+    with pytest.raises(PySparkException, match="parameter mismatch"):
+        minhash_probe_index(new, idx8, num_perm=16, bands=4).collect()
+
+    # (2) an index without stamp columns is rejected driver-side
+    with pytest.raises(ValueError, match="parameter stamp"):
+        minhash_probe_index(
+            new, idx8.drop("num_perm", "bands", "gram_n"),
+            num_perm=8, bands=4,
+        )
+
+    # (3) below the stamps, _sig_est itself refuses a wrong-length
+    # signature (defense-in-depth: a forged/stripped-stamp index that
+    # still produced bucket collisions would otherwise NULL-pad the zip
+    # and emit NULL estimates). Note a forged stamp alone is NOT enough
+    # to reach this path through minhash_probe_index: a wrong num_perm
+    # also changes every bucket hash, so the candidate equi-join comes
+    # back empty — zero rows, zero evaluations, the exact silent-failure
+    # shape the stamp guard closes. Hence the direct-expression test.
+    from xs_vlm_ocr_spark.operators.text_dedup import _sig_est
+
+    mism = spark.createDataFrame(
+        [([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4])], "siga array<long>, sigb array<long>"
+    )
+    with pytest.raises(PySparkException, match="signature length mismatch"):
+        mism.select(_sig_est(8).alias("est")).collect()
+    ok_est = spark.createDataFrame(
+        [([1, 2, 3, 9], [1, 2, 3, 4])], "siga array<long>, sigb array<long>"
+    ).select(_sig_est(4).alias("est")).collect()
+    assert ok_est[0]["est"] == 0.75
+
+    # and the happy path still works after all this
+    ok = minhash_probe_index(new, idx8, num_perm=8, bands=4).collect()
+    assert ok

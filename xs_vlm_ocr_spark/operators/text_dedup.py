@@ -196,9 +196,10 @@ def with_word_gram_strings(df: DataFrame, text_col: str = "text", n: int = 3,
 
 def minhash_band_index(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 16,
-                       bands: int = 4, n: int = 3) -> DataFrame:
-    """The PERSISTABLE near-dup index: (doc_id, sig, band, bucket) rows,
-    md5-hash family, ALL JVM-side:
+                       bands: int = 4, n: int = 3,
+                       persist: bool = True) -> DataFrame:
+    """The PERSISTABLE near-dup index: (doc_id, sig, band, bucket,
+    num_perm, bands, gram_n) rows, md5-hash family, ALL JVM-side:
 
       h_i(g)   = CAST(first 15 hex chars of md5('<i>|' || g) AS BIGINT)
       sig[i]   = min over the doc's distinct word n-grams of h_i(g)
@@ -210,6 +211,19 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
     re-hashes committed text — see ``minhash_probe_index``. The md5
     family (not xxhash/blake2b) is deliberate for a PERSISTED index: any
     engine (Spark, DuckDB, Trino) can rebuild or probe it bit-exactly.
+
+    The build parameters are STAMPED into every row (constant columns
+    dictionary-compress to ~nothing in parquet) so a probe months later
+    can verify them — ``minhash_probe_index`` refuses an index whose
+    stamps disagree with its own parameters instead of silently
+    estimating garbage.
+
+    ``persist=True`` caches the signature aggregate (worth it when the
+    returned index feeds BOTH sides of a join, as in
+    ``minhash_lsh_pairs_portable``); pass ``persist=False`` for
+    single-consumer builds (the probe side of ``minhash_probe_index``)
+    so long-running ingestion sessions don't accumulate corpus-scale
+    signature caches.
     """
     grams = with_word_gram_strings(df, text_col, n, id_col)
     h = F.conv(
@@ -228,8 +242,11 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
         mins.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
         .select("doc_id", F.expr("transform(_sm, s -> s.m)").alias("sig"))
-        .persist()  # feeds the banding explode AND the est sides
     )
+    if persist:
+        # avoids recomputing the signature agg once per join side when
+        # the caller consumes the index more than once
+        sig = sig.persist()
     rows = num_perm // bands
     return sig.select(
         "doc_id", "sig",
@@ -250,17 +267,43 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select(
+        "doc_id", "sig", "bb.band", "bb.bucket",
+        F.lit(num_perm).alias("num_perm"),
+        F.lit(bands).alias("bands"),
+        F.lit(n).alias("gram_n"),
+    )
 
 
 def _sig_est(num_perm: int):
     """Fraction of equal signature positions (k/num_perm — exact in
-    binary, bit-stable across engines) between siga and sigb columns."""
-    return F.aggregate(
+    binary, bit-stable across engines) between siga and sigb columns.
+
+    RAISES (per row, JVM-side) if either signature's length differs from
+    ``num_perm``: ``zip_with`` NULL-pads the shorter array — it does NOT
+    stop — so acc+NULL would make est_jaccard NULL and every
+    ``est >= threshold`` consumer would silently return ZERO pairs for a
+    mismatched index. Defense-in-depth below the parameter-stamp check
+    in ``minhash_probe_index`` (catches stamp-stripped indexes too)."""
+    size_ok = (F.size("siga") == num_perm) & (F.size("sigb") == num_perm)
+    est = F.aggregate(
         F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(num_perm))
+    return F.when(size_ok, est).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                "",
+                F.lit("minhash signature length mismatch: expected "
+                      f"num_perm={num_perm}, got len(siga)="),
+                F.size("siga").cast("string"),
+                F.lit(", len(sigb)="),
+                F.size("sigb").cast("string"),
+                F.lit(" — index built with different parameters?"),
+            )
+        )
+    )
 
 
 def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
@@ -307,15 +350,54 @@ def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
     new batch; candidates come from a (band, bucket) equi-join against
     the stored index — the committed corpus text is never re-read, never
     re-hashed, and no all-pairs comparison exists anywhere. Docs present
-    on both sides (same id) are not self-paired. ``index`` must have
-    been built with the SAME (num_perm, bands, n) — the signature length
-    is checked at runtime via the est expression's zip semantics
-    (zip_with stops at the shorter array; a mismatched index would
-    produce est > 1 or < full-range values caught by the planted tests).
+    on both sides (same id) are not self-paired.
+
+    ``index`` must have been built with the SAME (num_perm, bands, n).
+    That is VALIDATED at runtime against the parameter stamps
+    ``minhash_band_index`` writes into every row: a stamp mismatch
+    raises on the first index row touched (non-prunable filter guard —
+    three constant int comparisons per row, codegen'd), and a missing
+    stamp column raises here driver-side. Without the guard a mismatch
+    fails SILENTLY: different num_perm NULL-pads the zip in the est
+    expression (est_jaccard NULL -> zero pairs survive any threshold);
+    different bands/gram_n just buckets differently (bogus candidates,
+    wrong misses). ``_sig_est`` re-checks signature length below the
+    stamps as defense-in-depth.
     """
-    probe = minhash_band_index(new_docs, text_col, id_col, num_perm, bands, n)
-    a = index.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
-                     "band", "bucket")
+    missing = [c for c in ("num_perm", "bands", "gram_n")
+               if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"index is missing parameter stamp column(s) {missing}: not a "
+            "minhash_band_index output (or built before stamps existed) — "
+            "rebuild the index; probing with unverifiable parameters "
+            "produces silently wrong estimates"
+        )
+    stamp_ok = (
+        (F.col("num_perm") == num_perm)
+        & (F.col("bands") == bands)
+        & (F.col("gram_n") == n)
+    )
+    guarded = index.filter(
+        F.when(stamp_ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    "",
+                    F.lit("minhash index parameter mismatch: probe expects "
+                          f"(num_perm={num_perm}, bands={bands}, "
+                          f"gram_n={n}), index row is stamped ("),
+                    F.col("num_perm").cast("string"), F.lit(", "),
+                    F.col("bands").cast("string"), F.lit(", "),
+                    F.col("gram_n").cast("string"),
+                    F.lit(") — rebuild or probe with the index's params"),
+                )
+            )
+        )
+    )
+    probe = minhash_band_index(new_docs, text_col, id_col, num_perm, bands,
+                               n, persist=False)
+    a = guarded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
+                       "band", "bucket")
     b = probe.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
                      "band", "bucket")
     return (
@@ -351,13 +433,20 @@ _WS_SPLIT = re.compile(f"[{WS_CHARS}]+")
 
 
 def _tokenize(text: str) -> list[str]:
-    """Exact Python mirror of the JVM tokenizer
+    """Python mirror of the JVM tokenizer
     ``split(lower(trim(text)), WS_RE)``: trim strips ASCII spaces only,
     the split class is the pinned WS_CHARS, and Spark's split (limit -1)
     KEEPS leading/trailing empty tokens — so does re.split. Pinned
     against the JVM by tests/test_text_dedup.py (exotic-whitespace gram
-    parity): the default and portable-twin paths now differ ONLY in hash
-    family, never in tokenization."""
+    parity): the default and portable-twin paths differ only in hash
+    family for the tested character classes.
+
+    Case-mapping caveat: Python ``str.lower()`` is locale-independent;
+    Java ``toLowerCase`` uses the JVM default locale, which diverges on
+    locale-special mappings (tr/az dotted-I: 'I' -> 'ı'). session.py
+    pins the JVM to -Duser.language=en so both sides use the root-like
+    mapping; parity on locale-sensitive codepoints is only guaranteed
+    under that pin."""
     return _WS_SPLIT.split(text.strip(" ").lower())
 
 

@@ -39,9 +39,14 @@ def get_spark(
         # cap GC parallelism: with 32 task threads + 32 python workers on
         # one socket, default GC threads (=cores) fight the extraction
         # workers for the memory bus (measured ~25% stage time)
+        # user.language pin: Java toLowerCase is default-locale-sensitive
+        # (tr/az dotted-I), Python str.lower() is not — the MinHash/gram
+        # tokenizer parity (text_dedup._tokenize) assumes a root-like
+        # locale on the JVM side
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:ParallelGCThreads={min(8, cores)} -XX:ConcGCThreads=2",
+            f"-XX:ParallelGCThreads={min(8, cores)} -XX:ConcGCThreads=2"
+            " -Duser.language=en -Duser.country=US",
         )
         .config("spark.ui.enabled", "false")
     )
