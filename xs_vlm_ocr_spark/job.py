@@ -96,7 +96,17 @@ class ExtractionJob:
         # False (default) is pure resume semantics: a rerun only fills
         # gaps and the final table equals a single-run extraction.
         self.replay_hits = replay_hits
-        self.results = CheckpointedTable(os.path.join(out_dir, "results"))
+        # results are committed BUCKETED by content_hash: the resume/
+        # cache anti-join (operators.dedup.filter_uncached) probes this
+        # table every run, and at 10^12 committed rows the committed side
+        # must never re-shuffle — bucketing makes its scan (and the
+        # distinct-hashes aggregate on it) exchange-free; only the new
+        # batch shuffles (plan pinned in tests/test_bucketing.py).
+        # Iceberg analogue: bucket(32, content_hash) partition transform;
+        # reference analogue: idx_content_hash (HistoryManager.cpp:70-77)
+        self.results = CheckpointedTable(
+            os.path.join(out_dir, "results"), bucket_key="content_hash"
+        )
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
 
     def plan(self, spark: SparkSession, docs: DataFrame,

@@ -31,11 +31,37 @@ from pyspark.sql import types as T
 
 
 class CheckpointedTable:
-    def __init__(self, path: str, schema: T.StructType | None = None) -> None:
+    """``bucket_key`` opts a table into BUCKETED layout: every run is
+    written ``bucketBy(n_buckets, key).sortBy(key)`` through the session
+    catalog (an external table over the same ``data/`` dir, partitioned
+    by run_id), so a recurring join on the key — the daily resume
+    anti-join against a committed table that grows toward 10^12 rows —
+    reads the committed side PRE-PARTITIONED: zero Exchange on the big
+    side, only the new batch shuffles (tests/test_bucketing.py pins the
+    plan). The manifest stays the ONLY commit point: uncommitted
+    ``run_id=`` partitions are pruned out of every read, so crash
+    atomicity is unchanged. On a real deployment this is the Iceberg
+    ``bucket(N, content_hash)`` partition transform — same 1:1 swap as
+    the rest of this class; reference analogue: ``idx_content_hash``,
+    the reference's index on its cache-probe key
+    (src/managers/HistoryManager.cpp:70-77).
+
+    The default (bucket_key=None) keeps plain parquet appends and
+    mergeSchema evolution; bucketed tables trade schema evolution for
+    layout (exactly Iceberg's trade until a spec update)."""
+
+    def __init__(self, path: str, schema: T.StructType | None = None,
+                 bucket_key: str | None = None, n_buckets: int = 32) -> None:
         self.path = path
         self.schema = schema
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
         self.data_dir = os.path.join(path, "data")
         self.manifest_path = os.path.join(path, "manifest.json")
+        # deterministic name: a NEW session (resume after crash) derives
+        # the same catalog entry from the path and re-registers it
+        digest = __import__("hashlib").md5(path.encode()).hexdigest()[:12]
+        self.table_name = f"ckpt_{digest}"
 
     # ------------------------------------------------------------- manifest
     def committed_runs(self) -> list[str]:
@@ -58,14 +84,60 @@ class CheckpointedTable:
     def run_dir(self, run_id: str) -> str:
         return os.path.join(self.data_dir, f"run_id={run_id}")
 
+    def _ensure_registered(self, spark: SparkSession,
+                           schema: T.StructType) -> None:
+        """Catalog registration for the bucketed layout. The in-memory
+        catalog dies with the session, so a resumed job re-creates the
+        SAME external table (name derived from path) over the existing
+        data dir and recovers its run_id partitions — the files, not the
+        catalog, are the durable artifact (like an Iceberg metadata
+        re-read)."""
+        if spark.catalog.tableExists(self.table_name):
+            return
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields if f.name != "run_id"
+        )
+        spark.sql(
+            f"CREATE TABLE {self.table_name} ({cols}, run_id string) "
+            f"USING parquet PARTITIONED BY (run_id) "
+            f"CLUSTERED BY ({self.bucket_key}) "
+            f"SORTED BY ({self.bucket_key}) INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{self.data_dir}'"
+        )
+        if os.path.exists(self.data_dir):
+            spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
+
     def append(self, df: DataFrame, run_id: str) -> None:
         """Write then commit. Crash before the manifest rewrite leaves the
         table unchanged (the partial run dir is garbage, never read)."""
-        df.write.mode("overwrite").parquet(self.run_dir(run_id))
+        if self.bucket_key is None:
+            df.write.mode("overwrite").parquet(self.run_dir(run_id))
+        else:
+            from pyspark.sql import functions as F
+
+            self._ensure_registered(df.sparkSession, df.schema)
+            self.abandon(run_id)  # retry of a crashed run: clean partial dir
+            (
+                df.withColumn("run_id", F.lit(run_id))
+                .write.partitionBy("run_id")
+                .bucketBy(self.n_buckets, self.bucket_key)
+                .sortBy(self.bucket_key)
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(self.table_name)
+            )
         self._commit(run_id)
 
     def abandon(self, run_id: str) -> None:
         shutil.rmtree(self.run_dir(run_id), ignore_errors=True)
+        if self.bucket_key is not None:
+            active = SparkSession.getActiveSession()
+            if active is not None and active.catalog.tableExists(self.table_name):
+                active.sql(
+                    f"ALTER TABLE {self.table_name} DROP IF EXISTS "
+                    f"PARTITION (run_id='{run_id}')"
+                )
 
     def replace(self, df: DataFrame, run_id: str) -> None:
         """Rewrite the table as a single snapshot (atomic): the manifest
@@ -74,7 +146,22 @@ class CheckpointedTable:
         analogue: top-N retention rewrite + VACUUM (HistoryManager.cpp:
         330-363, 391-395); Iceberg analogue: overwrite + expire_snapshots."""
         old_runs = [r for r in self.committed_runs() if r != run_id]
-        df.write.mode("overwrite").parquet(self.run_dir(run_id))
+        if self.bucket_key is None:
+            df.write.mode("overwrite").parquet(self.run_dir(run_id))
+        else:
+            from pyspark.sql import functions as F
+
+            self._ensure_registered(df.sparkSession, df.schema)
+            self.abandon(run_id)
+            (
+                df.withColumn("run_id", F.lit(run_id))
+                .write.partitionBy("run_id")
+                .bucketBy(self.n_buckets, self.bucket_key)
+                .sortBy(self.bucket_key)
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(self.table_name)
+            )
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
@@ -86,16 +173,35 @@ class CheckpointedTable:
     def read(self, spark: SparkSession) -> DataFrame | None:
         """DataFrame over committed runs only; None when table is empty.
 
-        mergeSchema: schema evolution across snapshots — a run appended
-        with an added column reads as the UNION schema (older rows null
-        for the new column) instead of silently dropping it. Reference
-        analogue: in-place store migration, ALTER TABLE history ADD
-        COLUMN content_hash (HistoryManager.cpp:70-77)."""
-        dirs = [self.run_dir(r) for r in self.committed_runs()]
+        Unbucketed: mergeSchema — schema evolution across snapshots (a
+        run appended with an added column reads as the UNION schema,
+        older rows null for the new column). Reference analogue:
+        in-place store migration, ALTER TABLE history ADD COLUMN
+        content_hash (HistoryManager.cpp:70-77).
+
+        Bucketed: a catalog-table scan filtered to committed run_id
+        partitions (partition-pruned; uncommitted/crashed runs are
+        invisible exactly as before) — the scan reports
+        HashPartitioning(bucket_key, n_buckets), so downstream joins and
+        aggregations on the key add no Exchange on this side."""
+        from pyspark.sql import functions as F
+
+        runs = self.committed_runs()
+        dirs = [self.run_dir(r) for r in runs]
         dirs = [d for d in dirs if os.path.exists(d)]
         if not dirs:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if self.bucket_key is None:
+            return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if not spark.catalog.tableExists(self.table_name):
+            # fresh session over durable files: re-register, then recover
+            # the run_id partitions from the filesystem
+            self._ensure_registered(spark, spark.read.parquet(dirs[0]).schema)
+        return (
+            spark.table(self.table_name)
+            .filter(F.col("run_id").isin(runs))
+            .drop("run_id")
+        )
 
     def read_or_empty(self, spark: SparkSession) -> DataFrame:
         df = self.read(spark)
