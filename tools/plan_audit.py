@@ -151,6 +151,21 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     "dedup_exact_groups": [
         ("map-side partial aggregation", _has("partial_count")),
     ],
+    "dedup_exact_keep_first": [
+        # a row_number window over partitionBy(_h) serializes a mega dup
+        # cluster onto one reducer; winners must come from a map-side
+        # combining agg + composite-key semi-join
+        ("winner agg map-side combines (partial_min)", _has("partial_min")),
+        ("no hot-hash window", lambda p: "Window [" not in p),
+        ("winner semi-join", _has("LeftSemi")),
+    ],
+    "history_topn_retention": [
+        # global row_number window = single-reducer sort of the whole
+        # history table; winners must be parallel partial top-k
+        ("parallel partial top-k (TakeOrderedAndProject)",
+         _has("TakeOrderedAndProject")),
+        ("no global window", lambda p: "Window [" not in p),
+    ],
     "batch_status_counts": [
         ("map-side partial aggregation", _has("HashAggregate")),
     ],

@@ -99,10 +99,24 @@ def page_after(
 
 def retention_topn(df: DataFrame, n: int, ts_col: str, id_col: str) -> DataFrame:
     """Keep only the newest N rows (reference O2, DELETE-all-but-newest,
-    HistoryManager.cpp:330-363) — rank window + filter (the Spark form
-    of the NOT IN (SELECT .. LIMIT n) anti-join)."""
-    w = Window.orderBy(F.desc(ts_col), F.desc(id_col))
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+    HistoryManager.cpp:330-363).
+
+    Scale shape: the winner KEYS come from orderBy(desc).limit(n) —
+    TakeOrderedAndProject, i.e. each partition computes its own top-n
+    and the driver merges n-sized heaps (parallel partial top-k; n is a
+    retention count, so driver-side n rows is trivial) — then a
+    broadcast semi-join pulls the full winner rows. The previous
+    unpartitioned row_number window was a single-reducer GLOBAL SORT of
+    the whole table at 10^12 rows; same fix family as exact_dedup's
+    window removal. Requires (ts_col, id_col) to be a unique key, which
+    the engine's 128-bit result id guarantees (job.stamp_results).
+    Plan pinned by tests/test_results_history.py."""
+    winners = (
+        df.select(ts_col, id_col)
+        .orderBy(F.desc(ts_col), F.desc(id_col))
+        .limit(n)
+    )
+    return df.join(F.broadcast(winners), [ts_col, id_col], "left_semi")
 
 
 def apply_retention(table, spark, n: int, ts_col: str = "ts", id_col: str = "id") -> None:
