@@ -47,16 +47,30 @@ if shape == "interleave":
     gen_docs_df = gen_interleave_docs_df
 
 if model == "noop":
-    # identity extractor: the SAME plan (scan -> hash -> repartition ->
-    # mapInPandas -> Arrow both ways -> count) with zero per-token python
-    # compute. This is the engine-overhead CONTROL: if this pair scales,
-    # Spark's machinery is not the high-core bottleneck and the residual
-    # is the real extractor's compute.
+    # identity extractor on the SAME physical plan the real model runs
+    # (Arrow-bypass scalar UDF: pruned carry -> ArrowEvalPython -> JVM
+    # assembly) with zero per-token python compute — heavy html/pdf
+    # bytes are echoed back, text/media spans pass through JVM-side.
+    # This is the engine-overhead CONTROL: if this pair scales, Spark's
+    # machinery + the bypass boundary are not the high-core bottleneck
+    # and the residual is the real extractor's compute. (Pre-r5 noop
+    # controls rode the legacy ship-all mapInPandas path — r5+ noop
+    # numbers are a different, now-plan-matched control.)
     from xs_vlm_ocr_spark.strategies import REGISTRY
     def _noop(spans):
-        raise NotImplementedError("arrays path only")
+        raise NotImplementedError("bypass path only")
+    def _noop_bypass(codes, offs, heavy, blanks):
+        order = sorted(range(len(codes)), key=offs.__getitem__)
+        o_texts, o_src = [], []
+        for i in order:
+            if heavy[i] is not None:
+                o_texts.append(heavy[i]); o_src.append(-1)
+            else:
+                o_texts.append(None); o_src.append(i)
+        return o_texts, o_src
     def _noop_arrays(kinds, texts, refs, offs):
         return list(kinds), list(texts), list(refs)
+    _noop.bypass_impl = _noop_bypass
     _noop.arrays_impl = _noop_arrays
     REGISTRY["noop"] = _noop
 
@@ -79,12 +93,18 @@ if model == "cpuburn":
     # bandwidth, which on a real 4N cluster scales with nodes.
     from xs_vlm_ocr_spark.strategies import REGISTRY
     def _burn(spans):
-        raise NotImplementedError("arrays path only")
+        raise NotImplementedError("bypass path only")
+    def _burn_bypass(codes, offs, heavy, blanks):
+        x = 1
+        for _ in range(4000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        return [str(x)], [-1]
     def _burn_arrays(kinds, texts, refs, offs):
         x = 1
         for _ in range(4000):
             x = (x * 1103515245 + 12345) & 0xFFFFFFFF
         return ["burn"], [str(x)], [""]
+    _burn.bypass_impl = _burn_bypass
     _burn.arrays_impl = _burn_arrays
     REGISTRY["cpuburn"] = _burn
 
