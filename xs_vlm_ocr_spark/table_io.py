@@ -170,6 +170,35 @@ class CheckpointedTable:
         for r in old_runs:  # expire old snapshots (post-commit cleanup)
             self.abandon(r)
 
+    def compact(self, spark: SparkSession) -> str | None:
+        """Merge all committed snapshots into ONE (Iceberg analogue:
+        rewrite_data_files + expire_snapshots; reference analogue:
+        VACUUM, HistoryManager.cpp:391-395).
+
+        A run-per-append layout accumulates a directory per ingest — at
+        daily 100 TB ingests that is the classic small-file problem:
+        scan tasks multiply, bucket files fragment (each append writes
+        its own per-bucket files, so a bucketed read opens
+        runs x buckets files per bucket). Compaction rewrites the table
+        as one snapshot: the source is read as plain parquet (bypassing
+        the catalog so the rewrite never inserts into a table it is
+        reading), bucketed tables are repartitioned to n_buckets on the
+        key first so each bucket lands in ~one file, and the manifest
+        flip is the same atomic commit as every other write — a crash
+        mid-compaction leaves the old snapshots fully intact."""
+        runs = self.committed_runs()
+        dirs = [d for d in (self.run_dir(r) for r in runs) if os.path.exists(d)]
+        if len(dirs) <= 1:
+            return None
+        src = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if self.bucket_key is not None:
+            from pyspark.sql import functions as F
+
+            src = src.repartition(self.n_buckets, F.col(self.bucket_key))
+        run_id = f"compact-{uuid.uuid4().hex[:8]}"
+        self.replace(src, run_id)
+        return run_id
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """DataFrame over committed runs only; None when table is empty.
 
