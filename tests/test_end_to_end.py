@@ -165,3 +165,28 @@ def test_invalid_count_exact_under_skew_split(spark, tmp_path_factory):
     ).collect()
     assert len(inv) == 1 and inv[0]["docs_in"] == 5  # exact, not doubled
     assert job.read_results(spark).count() == 63
+
+
+def test_single_file_input_extraction_fans_out(spark, tmp_path_factory):
+    """A single-row-group parquet input (ONE scan partition) must not
+    serialize the extraction: AQE sizes the dedup exchange by BYTES and
+    coalesces a small batch to one task, but the stage above it is
+    per-row-expensive Python — the job pins the fan-out with an explicit
+    repartition (exempt from AQE coalescing) whenever the source scan
+    has fewer partitions than the target. Asserted via lineage
+    partition_id (deterministic; no timing)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path_factory.mktemp("onefile") / "docs")
+    gen_docs_df(spark, 400).coalesce(1).write.parquet(src)
+    docs = spark.read.parquet(src)
+    assert docs.rdd.getNumPartitions() == 1
+
+    job = ExtractionJob(str(tmp_path_factory.mktemp("job_onefile")))
+    rid = job.run(spark, docs)
+    lin = job.read_lineage(spark).filter(
+        (F.col("run_id") == rid) & (F.col("partition_id") >= 0)
+        & (F.col("docs_in") > 0)
+    )
+    n_parts = lin.select("partition_id").distinct().count()
+    assert n_parts > 4, f"extraction ran on {n_parts} partition(s)"

@@ -94,3 +94,26 @@ def test_compact_merges_snapshots_and_shrinks_files(spark, tmp_path_factory):
 
     # idempotent no-op on a single-snapshot table
     assert tbl.compact(spark) is None
+
+
+def test_bucketed_append_writes_one_file_per_bucket(spark, tmp_path_factory):
+    """Each append's hash-repartition means ONE file per bucket per run
+    — without it every upstream partition writes its own file per
+    bucket (tasks x buckets small files per ingest)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.table_io import CheckpointedTable
+
+    path = str(tmp_path_factory.mktemp("tbl_files") / "t")
+    tbl = CheckpointedTable(path, bucket_key="content_hash", n_buckets=4)
+    df = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("content_hash"),
+        F.col("id").alias("payload"),
+    ).repartition(16)  # many upstream partitions
+    tbl.append(df, "r0")
+    files = glob.glob(os.path.join(path, "data", "run_id=r0", "*.parquet"))
+    assert 0 < len(files) <= 4, files
+    assert tbl.read(spark).count() == 500

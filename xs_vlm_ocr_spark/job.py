@@ -177,6 +177,18 @@ class ExtractionJob:
         # identical (doc, strategy) submitted twice runs once); rows with
         # equal hash are byte-identical, so any winner is deterministic
         jobs = jobs.dropDuplicates(["content_hash"])
+        # Small-input parallelism guard: AQE sizes the dedup exchange by
+        # BYTES and coalesces a small batch to ONE task — but the stage
+        # above it is per-row-expensive Python, so a single-row-group
+        # input (one parquet file) serializes the whole extraction on
+        # one core (measured: 5k-doc file, 1 task, ~4x the wall time).
+        # An explicit numPartitions repartition is exempt from AQE
+        # coalescing (shuffle origin REPARTITION_BY_NUM) and pins the
+        # fan-out; at real scale inputs scan with thousands of splits,
+        # the guard never fires, and AQE's byte-based sizing — correct
+        # there — stays in charge. Same family as skew.fan_out_small_input.
+        if docs.rdd.getNumPartitions() < n_parts:
+            jobs = jobs.repartition(n_parts)
         jobs = repartition_by_doc_length(jobs, n_parts, stats=stats)
         return extract_spans(jobs, self.model_name, timeout_ms=self.timeout_ms,
                              passthrough=passthrough)

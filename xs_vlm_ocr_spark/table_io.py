@@ -94,6 +94,9 @@ class CheckpointedTable:
         re-read)."""
         if spark.catalog.tableExists(self.table_name):
             return
+        # pre-create the location: CREATE TABLE over a missing dir logs a
+        # noisy (benign) FileStreamSink FileNotFoundException warning
+        os.makedirs(self.data_dir, exist_ok=True)
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in schema.fields if f.name != "run_id"
@@ -114,20 +117,33 @@ class CheckpointedTable:
         if self.bucket_key is None:
             df.write.mode("overwrite").parquet(self.run_dir(run_id))
         else:
-            from pyspark.sql import functions as F
-
-            self._ensure_registered(df.sparkSession, df.schema)
-            self.abandon(run_id)  # retry of a crashed run: clean partial dir
-            (
-                df.withColumn("run_id", F.lit(run_id))
-                .write.partitionBy("run_id")
-                .bucketBy(self.n_buckets, self.bucket_key)
-                .sortBy(self.bucket_key)
-                .mode("append")
-                .format("parquet")
-                .saveAsTable(self.table_name)
-            )
+            self._bucketed_write(df, run_id)
         self._commit(run_id)
+
+    def _bucketed_write(self, df: DataFrame, run_id: str) -> None:
+        """One bucketed snapshot write. The hash-repartition to n_buckets
+        on the key is load-bearing: Spark's bucket id is
+        Murmur3Hash(key) pmod n_buckets — the SAME function
+        repartition(n, col) uses — so each write task holds exactly one
+        bucket's rows and emits ONE file per bucket (without it, every
+        upstream partition writes its own file per bucket:
+        tasks x buckets small files per run — measured 1000+ files for
+        one 5k-doc append). Iceberg analogue:
+        write.distribution-mode=hash on a bucket-transform table."""
+        from pyspark.sql import functions as F
+
+        self._ensure_registered(df.sparkSession, df.schema)
+        self.abandon(run_id)  # retry of a crashed run: clean partial dir
+        (
+            df.repartition(self.n_buckets, F.col(self.bucket_key))
+            .withColumn("run_id", F.lit(run_id))
+            .write.partitionBy("run_id")
+            .bucketBy(self.n_buckets, self.bucket_key)
+            .sortBy(self.bucket_key)
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(self.table_name)
+        )
 
     def abandon(self, run_id: str) -> None:
         shutil.rmtree(self.run_dir(run_id), ignore_errors=True)
@@ -149,19 +165,7 @@ class CheckpointedTable:
         if self.bucket_key is None:
             df.write.mode("overwrite").parquet(self.run_dir(run_id))
         else:
-            from pyspark.sql import functions as F
-
-            self._ensure_registered(df.sparkSession, df.schema)
-            self.abandon(run_id)
-            (
-                df.withColumn("run_id", F.lit(run_id))
-                .write.partitionBy("run_id")
-                .bucketBy(self.n_buckets, self.bucket_key)
-                .sortBy(self.bucket_key)
-                .mode("append")
-                .format("parquet")
-                .saveAsTable(self.table_name)
-            )
+            self._bucketed_write(df, run_id)
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
@@ -182,8 +186,8 @@ class CheckpointedTable:
         runs x buckets files per bucket). Compaction rewrites the table
         as one snapshot: the source is read as plain parquet (bypassing
         the catalog so the rewrite never inserts into a table it is
-        reading), bucketed tables are repartitioned to n_buckets on the
-        key first so each bucket lands in ~one file, and the manifest
+        reading), bucketed tables land one file per bucket
+        (``_bucketed_write``'s hash-repartition), and the manifest
         flip is the same atomic commit as every other write — a crash
         mid-compaction leaves the old snapshots fully intact."""
         runs = self.committed_runs()
@@ -191,10 +195,6 @@ class CheckpointedTable:
         if len(dirs) <= 1:
             return None
         src = spark.read.option("mergeSchema", "true").parquet(*dirs)
-        if self.bucket_key is not None:
-            from pyspark.sql import functions as F
-
-            src = src.repartition(self.n_buckets, F.col(self.bucket_key))
         run_id = f"compact-{uuid.uuid4().hex[:8]}"
         self.replace(src, run_id)
         return run_id
