@@ -577,6 +577,13 @@ data) -> 0.740-0.746 s at loadavg ~1.9 (r2 level was 0.700 s);
 0.301 s). No code differed on either path; the recovered numbers at
 recorded low load close round-3 What's-wrong #1.
 """
+    # Durable hand-written sections (round-5 protocol change, deployment
+    # rehearsal, per-round sf0.1 runs) live in BENCH/round_notes.md so a
+    # regeneration of this file never clobbers them.
+    notes_path = os.path.join(REPO, "BENCH", "round_notes.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
