@@ -327,6 +327,14 @@ RUN_HISTORY: list[dict] = [
     {"run": "2026-08-17 d", "commit": "03fcfc9", "ceiling": 0.798,
      "pair28": (0.837, 0.876), "real82": (0.653, 0.690),
      "il82": (0.469, 0.617), "burn": 0.494, "noop": 0.336},
+    # run e: heaviest co-tenant load of any committed run (5-17 external
+    # on the N-side windows) — efficiency medians are contention floors,
+    # absolute throughput peaked anyway (204.7k docs/s interleave at 32;
+    # see BENCH/round_notes.md). First run with the bypass-plan-matched
+    # noop control and 3.2M-doc interleave pair (not comparable to d's).
+    {"run": "2026-08-17 e", "commit": "4f346d1", "ceiling": 0.772,
+     "pair28": (0.793, 0.824), "real82": (0.417, 0.420),
+     "il82": (0.477, 0.489), "burn": 0.583, "noop": 0.219},
 ]
 
 
