@@ -516,6 +516,27 @@ def _q_incremental_minhash(spark, sf_dir):
     )
 
 
+def _q_minhash_index_maintenance(spark, sf_dir):
+    """Index MAINTENANCE: the committed index of batch A plus band rows
+    computed for ONLY the new batch B (minhash_index_append). The md5
+    family makes maintenance exact — append(index(A), B) is row-for-row
+    index(A ∪ B) — so the oracle simply builds the full index over all
+    documents in SQL. (The bit-equality itself is additionally pinned by
+    tests/test_text_dedup.py::test_minhash_index_append_equals_rebuild.)"""
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_index_append,
+    )
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    committed = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_band_index(committed, num_perm=16, bands=4, persist=False)
+    return minhash_index_append(idx, new, num_perm=16, bands=4).select(
+        "doc_id", "band", "bucket"
+    )
+
+
 def _q_simhash_near(spark, sf_dir):
     """SimHash near-pairs, oracle-checked end-to-end via the portable
     md5-derived 60-bit hash (simhash_near_pairs_portable); the
@@ -818,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": _q_fingerprint_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "incremental_minhash_probe": _q_incremental_minhash,
+        "minhash_index_maintenance": _q_minhash_index_maintenance,
         "simhash_near_pairs": _q_simhash_near,
         "media_decode": _q_media_decode,
         "strategy_inheritance": _q_strategy_inheritance,
@@ -1041,6 +1063,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.a, c.b
             HAVING CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
                      / 16.0 >= 0.5
+        """,
+        "minhash_index_maintenance": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            mins AS (
+              SELECT doc_id, p.i AS i,
+                     min(CAST(('0x' || substr(
+                           md5(CAST(p.i AS VARCHAR) || '|' || g), 1, 15))
+                         AS BIGINT)) AS m
+              FROM grams, LATERAL (SELECT unnest(range(0, 16)) AS i) AS p
+              GROUP BY doc_id, p.i
+            )
+            SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                   md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+            FROM mins GROUP BY doc_id, i // 4
         """,
         "incremental_minhash_probe": f"""
             WITH toks AS (

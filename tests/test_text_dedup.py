@@ -406,3 +406,51 @@ def test_minhash_probe_param_guard(corpus_df, spark):
     # and the happy path still works after all this
     ok = minhash_probe_index(new, idx8, num_perm=8, bands=4).collect()
     assert ok
+
+
+def test_minhash_index_append_equals_rebuild(corpus_df, spark):
+    """Incremental maintenance is EXACT: append(index(A), B) must be
+    row-for-row identical to index(A ∪ B) — the md5 hash family has no
+    build-order state, so an index maintained incrementally for years
+    equals a fresh rebuild bit-for-bit. Also: probing a third batch
+    against the appended index equals probing against the rebuild."""
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_index_append,
+        minhash_probe_index,
+    )
+
+    batch_b = {"d900", "d901"}
+    batch_c = {"d902"}
+    a_docs = corpus_df.filter(~F.col("doc_id").isin(*(batch_b | batch_c)))
+    b_docs = corpus_df.filter(F.col("doc_id").isin(*batch_b))
+    c_docs = corpus_df.filter(F.col("doc_id").isin(*batch_c))
+
+    appended = minhash_index_append(
+        minhash_band_index(a_docs, num_perm=16, bands=4), b_docs,
+        num_perm=16, bands=4)
+    rebuilt = minhash_band_index(
+        corpus_df.filter(~F.col("doc_id").isin(*batch_c)),
+        num_perm=16, bands=4)
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: (t[0], t[2]),  # (doc_id, band)
+        )
+
+    assert rows(appended) == rows(rebuilt)
+
+    got_app = sorted(map(tuple,
+        minhash_probe_index(c_docs, appended, num_perm=16, bands=4).collect()))
+    got_reb = sorted(map(tuple,
+        minhash_probe_index(c_docs, rebuilt, num_perm=16, bands=4).collect()))
+    assert got_app == got_reb and got_app  # d902 clones indexed d000
+
+    # appending onto a mismatched index fails loudly, same as probe
+    import pytest
+    from pyspark.errors import PySparkException
+    bad = minhash_band_index(a_docs, num_perm=8, bands=4)
+    with pytest.raises(PySparkException, match="parameter mismatch"):
+        minhash_index_append(bad, b_docs, num_perm=16, bands=4).collect()

@@ -111,6 +111,11 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
         ("index probe is a (band,bucket) equi join", _equi_join),
     ],
+    "minhash_index_maintenance": [
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+        ("append is a union, never a join", _absent("Join")),
+        ("signature agg map-side combines", _has("partial_min")),
+    ],
     "simhash_near_pairs": [
         ("no python UDF anywhere in the plan (portable twin)", _absent("PythonUDF")),
     ],

@@ -339,6 +339,72 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
     )
 
 
+def _validated_index(index: DataFrame, num_perm: int, bands: int,
+                     n: int) -> DataFrame:
+    """The persisted-index parameter guard shared by probe and append:
+    rejects stamp-less frames driver-side and raises (non-prunable
+    filter, three codegen'd int comparisons per row) on the first row
+    whose stamps disagree with the caller's parameters."""
+    missing = [c for c in ("num_perm", "bands", "gram_n")
+               if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"index is missing parameter stamp column(s) {missing}: not a "
+            "minhash_band_index output (or built before stamps existed) — "
+            "rebuild the index; probing with unverifiable parameters "
+            "produces silently wrong estimates"
+        )
+    stamp_ok = (
+        (F.col("num_perm") == num_perm)
+        & (F.col("bands") == bands)
+        & (F.col("gram_n") == n)
+    )
+    return index.filter(
+        F.when(stamp_ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    "",
+                    F.lit("minhash index parameter mismatch: probe expects "
+                          f"(num_perm={num_perm}, bands={bands}, "
+                          f"gram_n={n}), index row is stamped ("),
+                    F.col("num_perm").cast("string"), F.lit(", "),
+                    F.col("bands").cast("string"), F.lit(", "),
+                    F.col("gram_n").cast("string"),
+                    F.lit(") — rebuild or probe with the index's params"),
+                )
+            )
+        )
+    )
+
+
+def minhash_index_append(index: DataFrame, new_docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 16, bands: int = 4,
+                         n: int = 3) -> DataFrame:
+    """Index MAINTENANCE for incremental ingestion: the committed index
+    plus band rows computed for ONLY the new batch.
+
+    With ``minhash_probe_index`` this completes the 100 TB loop —
+    probe the increment against the committed index, then append the
+    increment's rows so the NEXT batch sees it; committed text is never
+    re-read or re-hashed at any step. The md5 hash family makes this
+    associative by construction: append(index(A), B) is row-for-row
+    identical to index(A ∪ B) (pinned by
+    tests/test_text_dedup.py::test_minhash_index_append_equals_rebuild),
+    so an index maintained incrementally for years equals a fresh
+    rebuild bit-for-bit. Stamps are validated on the committed side
+    (same guard as the probe) and inherited by the appended rows.
+
+    Persist via a CheckpointedTable/Iceberg append of just the NEW rows
+    (``minhash_band_index(new_docs)`` output) when the committed side
+    lives in storage — this function is the logical union for callers
+    composing in one plan."""
+    guarded = _validated_index(index, num_perm, bands, n)
+    fresh = minhash_band_index(new_docs, text_col, id_col, num_perm, bands,
+                               n, persist=False)
+    return guarded.unionByName(fresh)
+
+
 def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 16, bands: int = 4,
@@ -364,36 +430,7 @@ def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
     wrong misses). ``_sig_est`` re-checks signature length below the
     stamps as defense-in-depth.
     """
-    missing = [c for c in ("num_perm", "bands", "gram_n")
-               if c not in index.columns]
-    if missing:
-        raise ValueError(
-            f"index is missing parameter stamp column(s) {missing}: not a "
-            "minhash_band_index output (or built before stamps existed) — "
-            "rebuild the index; probing with unverifiable parameters "
-            "produces silently wrong estimates"
-        )
-    stamp_ok = (
-        (F.col("num_perm") == num_perm)
-        & (F.col("bands") == bands)
-        & (F.col("gram_n") == n)
-    )
-    guarded = index.filter(
-        F.when(stamp_ok, F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat_ws(
-                    "",
-                    F.lit("minhash index parameter mismatch: probe expects "
-                          f"(num_perm={num_perm}, bands={bands}, "
-                          f"gram_n={n}), index row is stamped ("),
-                    F.col("num_perm").cast("string"), F.lit(", "),
-                    F.col("bands").cast("string"), F.lit(", "),
-                    F.col("gram_n").cast("string"),
-                    F.lit(") — rebuild or probe with the index's params"),
-                )
-            )
-        )
-    )
+    guarded = _validated_index(index, num_perm, bands, n)
     probe = minhash_band_index(new_docs, text_col, id_col, num_perm, bands,
                                n, persist=False)
     a = guarded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
