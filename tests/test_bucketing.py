@@ -117,3 +117,28 @@ def test_bucketed_results_survive_fresh_session_catalog(spark, tmp_path_factory)
         assert n == 1, n
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_cache_hits_window_rides_bucket_partitioning(spark, tmp_path_factory):
+    """The replay path's latest-successful-wins window partitions by
+    content_hash — on the bucketed committed table its required
+    distribution is ALREADY satisfied by the scan, so the whole
+    cache_hits plan (window + rn filter + broadcast semi-join against
+    the probe) contains ZERO hash-partitioning exchanges: at 10^12
+    committed rows the replay probe never re-shuffles history."""
+    from xs_vlm_ocr_spark.corpus import gen_docs_df
+    from xs_vlm_ocr_spark.job import ExtractionJob
+    from xs_vlm_ocr_spark.operators.dedup import cache_hits
+
+    out = str(tmp_path_factory.mktemp("job_hits_plan"))
+    job = ExtractionJob(out)
+    job.run(spark, gen_docs_df(spark, 50))
+
+    committed = job.read_results(spark)
+    probe = committed.select("content_hash").limit(10)
+    hits = cache_hits(probe, committed)
+    assert hits.count() == 10
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window [" in plan  # the latest-wins ranking is there...
+    assert plan.count("Exchange hashpartitioning") == 0, plan  # ...unshuffled
