@@ -499,7 +499,7 @@ def _q_minhash_lsh(spark, sf_dir):
 def _q_incremental_minhash(spark, sf_dir):
     """Incremental near-dup: new batch (doc_id % 5 = 0) probed against a
     committed minhash_band_index of the rest of the corpus. Signatures
-    are computed once per side, candidates come from a (band, bucket)
+    are computed once per side, candidates come from a single-key bucket
     equi-join against the index — committed text is never re-read at
     ingest time (the 100 TB ingestion primitive)."""
     from xs_vlm_ocr_spark.operators.text_dedup import (
@@ -1046,12 +1046,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             buckets AS (
               SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                     md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+                     md5(CAST(i // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
               FROM mins GROUP BY doc_id, i // 4
             ),
             cand AS (
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM buckets x JOIN buckets y USING (band, bucket)
+              FROM buckets x JOIN buckets y USING (bucket)
               WHERE x.doc_id < y.doc_id
             )
             SELECT c.a, c.b,
@@ -1084,7 +1084,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, p.i
             )
             SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                   md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+                   md5(CAST(i // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
             FROM mins GROUP BY doc_id, i // 4
         """,
         "incremental_minhash_probe": f"""
@@ -1108,12 +1108,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             buckets AS (
               SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                     md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+                     md5(CAST(i // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
               FROM mins GROUP BY doc_id, i // 4
             ),
             cand AS (
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM buckets x JOIN buckets y USING (band, bucket)
+              FROM buckets x JOIN buckets y USING (bucket)
               WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
                 AND x.doc_id <> y.doc_id
             )

@@ -454,3 +454,49 @@ def test_minhash_index_append_equals_rebuild(corpus_df, spark):
     bad = minhash_band_index(a_docs, num_perm=8, bands=4)
     with pytest.raises(PySparkException, match="parameter mismatch"):
         minhash_index_append(bad, b_docs, num_perm=16, bands=4).collect()
+
+
+def test_persisted_index_bucketed_probe_plan(corpus_df, spark, tmp_path_factory):
+    """THE index-store shape for 100 TB: persist minhash_band_index in a
+    CheckpointedTable bucketed on `bucket` (the single LSH join key —
+    the band id is folded into the bucket hash precisely so this works)
+    and the probe equi-join never re-shuffles the index side: exactly
+    ONE Exchange on `bucket` in the whole plan (the new batch), none
+    above the index scan. Results identical to probing the live index."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        minhash_band_index,
+        minhash_probe_index,
+    )
+    from xs_vlm_ocr_spark.table_io import CheckpointedTable
+
+    new_ids = {"d900", "d901", "d902"}
+    committed = corpus_df.filter(~F.col("doc_id").isin(*new_ids))
+    new = corpus_df.filter(F.col("doc_id").isin(*new_ids))
+
+    path = str(tmp_path_factory.mktemp("mh_store") / "t")
+    tbl = CheckpointedTable(path, bucket_key="bucket", n_buckets=8)
+    tbl.append(minhash_band_index(committed, num_perm=16, bands=4,
+                                  persist=False), "r0")
+    stored = tbl.read(spark)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        pairs = minhash_probe_index(new, stored, num_perm=16, bands=4)
+        got = sorted(map(tuple, pairs.collect()))
+        live = minhash_probe_index(
+            new, minhash_band_index(committed, num_perm=16, bands=4),
+            num_perm=16, bands=4)
+        assert got == sorted(map(tuple, live.collect())) and got
+
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "ckpt_" in plan  # reading the catalog (bucketed) table
+        n_bucket_ex = len(re.findall(r"Exchange hashpartitioning\(bucket#", plan))
+        assert n_bucket_ex == 1, plan  # probe side only; index side rides
+        # its bucket layout (2 exchanges here = the index re-shuffled)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -109,7 +109,7 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     ],
     "incremental_minhash_probe": [
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
-        ("index probe is a (band,bucket) equi join", _equi_join),
+        ("index probe is a single-key bucket equi join", _equi_join),
     ],
     "minhash_index_maintenance": [
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),

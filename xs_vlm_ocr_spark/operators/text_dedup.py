@@ -203,7 +203,16 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
 
       h_i(g)   = CAST(first 15 hex chars of md5('<i>|' || g) AS BIGINT)
       sig[i]   = min over the doc's distinct word n-grams of h_i(g)
-      bucket   = md5 of the comma-joined band slice of sig
+      bucket   = md5('<band>|' || comma-joined band slice of sig)
+
+    The band id is folded INTO the bucket hash so ``bucket`` alone is a
+    complete LSH join key (two docs share a bucket iff they share the
+    SAME band's slice): candidate joins are single-key equi-joins, and a
+    stored index bucketed (CheckpointedTable/Iceberg bucket transform)
+    on that one column probes with ZERO shuffle of the index side —
+    Spark's v1 bucketed-scan join elides the exchange only when the
+    join keys equal the bucket column exactly
+    (tests/test_text_dedup.py::test_persisted_index_bucketed_probe_plan).
 
     At 100 TB this is the growing corpus-side artifact: committed once
     per ingested increment (bands per doc, partitionable by bucket), so
@@ -255,12 +264,16 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
                 F.struct(
                     F.lit(b).alias("band"),
                     F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda m: m.cast("string"),
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows + 1, rows),
+                                    lambda m: m.cast("string"),
+                                ),
+                                ",",
                             ),
-                            ",",
                         )
                     ).alias("bucket"),
                 )
@@ -327,11 +340,11 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
     """
     banded = minhash_band_index(df, text_col, id_col, num_perm, bands, n)
     a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
-                      "band", "bucket")
+                      "bucket")
     b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
-                      "band", "bucket")
+                      "bucket")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["bucket"])  # bucket encodes the band: single-key LSH join
         .filter(F.col("a") < F.col("b"))
         .withColumn("est_jaccard", _sig_est(num_perm))
         .groupBy("a", "b")
@@ -413,9 +426,12 @@ def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
     pairs between a NEW batch and a COMMITTED ``minhash_band_index``.
 
     The 100 TB ingestion primitive: signatures are computed ONLY for the
-    new batch; candidates come from a (band, bucket) equi-join against
-    the stored index — the committed corpus text is never re-read, never
-    re-hashed, and no all-pairs comparison exists anywhere. Docs present
+    new batch; candidates come from a single-key bucket equi-join
+    against the stored index (the bucket hash encodes the band) — the
+    committed corpus text is never re-read, never re-hashed, and no
+    all-pairs comparison exists anywhere. Store the index in a
+    CheckpointedTable/Iceberg table bucketed on ``bucket`` and the join
+    also never re-SHUFFLES the index side (plan-pinned). Docs present
     on both sides (same id) are not self-paired.
 
     ``index`` must have been built with the SAME (num_perm, bands, n).
@@ -434,11 +450,12 @@ def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
     probe = minhash_band_index(new_docs, text_col, id_col, num_perm, bands,
                                n, persist=False)
     a = guarded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
-                       "band", "bucket")
+                       "bucket")
     b = probe.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
-                     "band", "bucket")
+                     "bucket")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["bucket"])  # single-key: a stored index bucketed on
+        # this column joins with zero shuffle of the index side
         .filter(F.col("a") != F.col("b"))
         .withColumn("est_jaccard", _sig_est(num_perm))
         .groupBy("a", "b")
