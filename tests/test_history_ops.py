@@ -106,3 +106,22 @@ def test_exact_dedup_mega_cluster_plan(spark):
     # cluster hash-distributes instead of landing on one reducer)
     semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert semi and all("doc_id" in ln for ln in semi), plan
+
+
+def test_paginate_plan_is_bounded_topk(spark):
+    """paginate must rank only the page-bounded TakeOrderedAndProject
+    output, never window the whole table: the global sort work runs as
+    parallel per-partition top-k; the single-partition window pass sees
+    <= (page+1)*page_size rows."""
+    from xs_vlm_ocr_spark.operators.history import paginate
+
+    df = spark.range(20_000).select(
+        F.format_string("id%08d", F.col("id")).alias("id"),
+        F.timestamp_seconds(F.col("id") % 1999).alias("ts"),
+    )
+    page = paginate(df, "ts", "id", page=2, page_size=10)
+    rows = page.collect()
+    assert len(rows) == 10
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan, plan

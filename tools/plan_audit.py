@@ -164,6 +164,12 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("no hot-hash window", lambda p: "Window [" not in p),
         ("winner semi-join", _has("LeftSemi")),
     ],
+    "history_page": [
+        # OFFSET/LIMIT must rank only the page-bounded top-k set, not
+        # window the whole table
+        ("parallel partial top-k (TakeOrderedAndProject)",
+         _has("TakeOrderedAndProject")),
+    ],
     "history_topn_retention": [
         # global row_number window = single-reducer sort of the whole
         # history table; winners must be parallel partial top-k

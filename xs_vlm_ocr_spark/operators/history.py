@@ -59,21 +59,24 @@ def paginate(
     descending: bool = True,
 ) -> DataFrame:
     """ORDER BY .. DESC LIMIT/OFFSET pagination (reference O1,
-    HistoryManager.cpp:186-201) via a row_number window — deterministic
-    under a total order (explicit tiebreak column).
+    HistoryManager.cpp:186-201), deterministic under a total order
+    (explicit tiebreak column).
 
-    Scale note: the window is unpartitioned, which serializes on one
-    reducer — correct for page-sized reads because Catalyst pushes a
-    global sort + limit; for deep offsets at 10^12 rows you paginate by
-    keyset (WHERE ts < last_seen) instead — see ``page_after``."""
+    Scale shape: the top ``(page+1) * page_size`` rows come from
+    orderBy+limit — TakeOrderedAndProject, parallel per-partition top-k
+    merged driver-side — and only that page-bounded set is ranked by the
+    row_number window (a single-partition pass over <= hi rows, not over
+    the table). Deep offsets are still O(page) rows on the driver; at
+    10^12 rows paginate by keyset instead — see ``page_after``."""
     oc = F.desc(order_col) if descending else F.asc(order_col)
     tc = F.desc(tiebreak_col) if descending else F.asc(tiebreak_col)
-    w = Window.orderBy(oc, tc)
     lo = page * page_size
     hi = lo + page_size
+    w = Window.orderBy(oc, tc)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > lo) & (F.col("_rn") <= hi))
+        df.orderBy(oc, tc).limit(hi)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > lo)
         .drop("_rn")
     )
 
