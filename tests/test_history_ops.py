@@ -76,6 +76,19 @@ def test_exact_dedup_keeps_lowest_doc_id(spark):
     assert kept == ["a", "c"]
 
 
+def test_exact_dedup_null_text_kept_distinct_from_empty(spark):
+    """NULL text rows are a GROUP, not a drop: md5(NULL)=NULL would
+    silently lose them through the equi semi-join; the sentinel key
+    keeps one NULL-text representative, distinct from the ''-text
+    group (the sentinel is outside md5's hex alphabet)."""
+    df = spark.createDataFrame(
+        [("n2", None), ("n1", None), ("e1", ""), ("e2", ""), ("t", "x")],
+        "doc_id string, full_text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == ["e1", "n1", "t"]
+
+
 def test_exact_dedup_mega_cluster_plan(spark):
     """Planted mega-dup cluster (10^5 copies of ONE text — the web-crawl
     boilerplate shape): exact_dedup must stay a map-side-combining

@@ -68,6 +68,27 @@ def test_no_skew_means_no_shuffle(spark):
     assert out is docs
 
 
+def test_min_partitions_floor_single_shuffle(spark, skewed_docs):
+    """The small-input parallelism floor costs at most ONE shuffle:
+    no-skew inputs pay exactly one repartition to the floor; skewed
+    inputs are already fanned out by the hot/cold split's own
+    repartitions (exactly two round-robin exchanges — a third would be
+    the old dead guard shuffle running before the split)."""
+    flat = gen_docs_df(spark, 200)
+    out = repartition_by_doc_length(flat, N_PARTS, sample_fraction=1.0,
+                                    min_partitions=N_PARTS)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Repartition") == 1, plan
+    assert out.rdd.getNumPartitions() == N_PARTS
+
+    skewed = repartition_by_doc_length(skewed_docs, N_PARTS,
+                                       sample_fraction=1.0,
+                                       min_partitions=N_PARTS)
+    plan = skewed._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("RoundRobinPartitioning") == 2, plan
+
+
 def test_salted_group_count_matches_plain(spark, skewed_docs):
     ex = skewed_docs.select(
         F.explode("spans").alias("s")

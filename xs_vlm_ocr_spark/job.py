@@ -182,14 +182,22 @@ class ExtractionJob:
         # above it is per-row-expensive Python, so a single-row-group
         # input (one parquet file) serializes the whole extraction on
         # one core (measured: 5k-doc file, 1 task, ~4x the wall time).
-        # An explicit numPartitions repartition is exempt from AQE
-        # coalescing (shuffle origin REPARTITION_BY_NUM) and pins the
-        # fan-out; at real scale inputs scan with thousands of splits,
-        # the guard never fires, and AQE's byte-based sizing — correct
-        # there — stays in charge. Same family as skew.fan_out_small_input.
-        if docs.rdd.getNumPartitions() < n_parts:
-            jobs = jobs.repartition(n_parts)
-        jobs = repartition_by_doc_length(jobs, n_parts, stats=stats)
+        # The probe is planning-free: inputFiles() walks the analyzed
+        # plan's file relations (no physical planning / RDD lineage —
+        # df.rdd on a wide plan is a driver-latency trap), and a
+        # non-file source (in-memory test frames) reports 0 files =
+        # "small". A single huge splittable file under-counts its scan
+        # splits and fires the guard unnecessarily — one bounded extra
+        # shuffle of a batch that small. At real scale inputs arrive as
+        # thousands of files, the guard never fires, and AQE's
+        # byte-based sizing — correct there — stays in charge.
+        # The floor is handed to repartition_by_doc_length so ONE
+        # shuffle serves both the fan-out and the skew split (the skew
+        # path's own repartitions already satisfy the floor; only the
+        # no-skew branch pays a plain repartition).
+        fanout = n_parts if len(docs.inputFiles()) < n_parts else None
+        jobs = repartition_by_doc_length(jobs, n_parts, stats=stats,
+                                         min_partitions=fanout)
         return extract_spans(jobs, self.model_name, timeout_ms=self.timeout_ms,
                              passthrough=passthrough)
 

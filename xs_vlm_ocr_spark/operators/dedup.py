@@ -81,8 +81,19 @@ def exact_dedup(df: DataFrame, text_col: str = "full_text",
     The previous row_number window over partitionBy(_h) serialized the
     whole cluster onto one reducer — same groupBy-not-window rule as
     text_dedup.py's doc-frequency aggregation. Pinned by
-    tests/test_history_ops.py::test_exact_dedup_mega_cluster_plan."""
-    h = F.md5(F.col(text_col))
+    tests/test_history_ops.py::test_exact_dedup_mega_cluster_plan.
+
+    NULL text forms its OWN group (a sentinel key outside md5's hex
+    alphabet — it cannot collide with any real hash, including empty
+    string's): one representative NULL-text row survives, distinct from
+    the empty-string group. md5(NULL) is NULL and NULL keys never
+    survive an equi semi-join, so hashing the raw column would silently
+    DROP every NULL-text row — a contract change for a generic
+    operator (the engine's own pipeline filters invalid docs first, but
+    callers outside it may not)."""
+    h = F.when(
+        F.col(text_col).isNull(), F.lit("<null>")
+    ).otherwise(F.md5(F.col(text_col)))
     with_h = df.withColumn("_h", h)
     winners = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return with_h.join(winners, ["_h", id_col], "left_semi").drop("_h")

@@ -112,7 +112,11 @@ def retention_topn(df: DataFrame, n: int, ts_col: str, id_col: str) -> DataFrame
     unpartitioned row_number window was a single-reducer GLOBAL SORT of
     the whole table at 10^12 rows; same fix family as exact_dedup's
     window removal. Requires (ts_col, id_col) to be a unique key, which
-    the engine's 128-bit result id guarantees (job.stamp_results).
+    the engine's 128-bit result id guarantees (job.stamp_results) —
+    with duplicate (ts, id) keys ALL duplicates of a winner pass the
+    semi-join (more than n rows kept), and rows with a NULL ts or id
+    never match the equi-join and are dropped; callers outside the
+    engine's stamped results must ensure uniqueness and non-null keys.
     Plan pinned by tests/test_results_history.py."""
     winners = (
         df.select(ts_col, id_col)

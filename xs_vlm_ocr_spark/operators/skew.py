@@ -53,7 +53,8 @@ def repartition_by_doc_length(docs: DataFrame, num_partitions: int,
                               hot_quantile: float = 0.99,
                               skew_ratio_threshold: float = 10.0,
                               sample_fraction: float = 0.05,
-                              stats: tuple[float, float] | None = None) -> DataFrame:
+                              stats: tuple[float, float] | None = None,
+                              min_partitions: int | None = None) -> DataFrame:
     """Cost-aware, *adaptive* partitioning for the extraction map stage.
 
     Shuffling 100 TB of document bytes just to balance cost is itself a
@@ -76,11 +77,24 @@ def repartition_by_doc_length(docs: DataFrame, num_partitions: int,
     ``stats``: precomputed (median, hot-quantile) — pass it when the
     input DataFrame has expensive upstream stages (the quantile pass is
     an action and would recompute them; callers compute stats on the
-    cheap raw scan instead, see job.ExtractionJob.plan)."""
+    cheap raw scan instead, see job.ExtractionJob.plan).
+
+    ``min_partitions``: small-input parallelism floor. When the caller
+    knows the source scan has too few splits for the per-row-expensive
+    stage above (job.ExtractionJob.plan's AQE-coalescing guard), the
+    floor is honoured by ONE shuffle: the skew path's own repartitions
+    already satisfy it, and only the no-skew early-return pays a plain
+    ``repartition(min_partitions)``. Previously the guard repartition
+    ran *before* this function and the skew path then re-shuffled —
+    two full shuffles of the batch where one serves both purposes."""
     med, thr = stats if stats is not None else doc_length_stats(
         docs, sample_fraction, hot_quantile
     )
     if thr <= 0 or med <= 0 or thr / med < skew_ratio_threshold:
+        if min_partitions is not None:
+            # explicit numPartitions => shuffle origin REPARTITION_BY_NUM,
+            # exempt from AQE byte-based coalescing (the guard's point)
+            return docs.repartition(min_partitions)
         return docs  # no material skew: don't pay a shuffle for nothing
     df = with_byte_len(docs)
     cold = df.filter(F.col("byte_len") < thr).repartition(num_partitions)
