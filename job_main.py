@@ -32,6 +32,11 @@ def main() -> None:
                     help="re-emit cached results for committed hashes as new "
                          "history rows with processing_time_ms=0 (reference "
                          "hit path); default is pure resume semantics")
+    ap.add_argument("--compact-after", type=int, default=None,
+                    help="compaction policy: after the run commits, merge any "
+                         "output table holding more than N committed runs "
+                         "into one snapshot (bounds small-file growth across "
+                         "long-lived daily ingests)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +57,9 @@ def main() -> None:
     job = ExtractionJob(args.output, model_name=args.model,
                         timeout_ms=args.timeout_ms, source=args.source,
                         replay_hits=args.replay_hits)
-    run_id = job.run(spark, docs, run_id=args.run_id, target_partitions=args.partitions)
+    run_id = job.run(spark, docs, run_id=args.run_id,
+                     target_partitions=args.partitions,
+                     compact_after=args.compact_after)
 
     results = job.read_results(spark)
     lineage = job.read_lineage(spark).filter(f"run_id = '{run_id}'")

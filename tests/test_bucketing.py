@@ -72,9 +72,9 @@ def test_job_resume_probe_committed_side_exchange_free(spark, tmp_path_factory):
         committed = job.read_results(spark)
         resume = filter_uncached(jobs, committed)
         # unbucketed CONTROL: the same committed files read as plain
-        # parquet (no catalog bucket spec) shuffles BOTH sides
-        plain_tbl = CheckpointedTable(os.path.join(out, "results"))
-        control = filter_uncached(jobs, plain_tbl.read(spark))
+        # parquet (read_raw bypasses the catalog bucket spec — a plain
+        # CheckpointedTable constructor is now refused by check_layout)
+        control = filter_uncached(jobs, job.results.read_raw(spark))
 
         n_resume = n_shuffle_exchanges(resume)
         n_control = n_shuffle_exchanges(control)

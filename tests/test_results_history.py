@@ -180,3 +180,76 @@ def test_retention_topn_plan_is_partial_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window [" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_time_bounded_read_results_prunes_runs_at_file_level(spark, tmp_path_factory):
+    """Round-6 directive 1: every run's commit ts lands in the manifest
+    as exact min/max stats (stats_bounds — no scan), and a time-bounded
+    read_results opens ONLY the overlapping runs' files. Asserted at
+    the plan's partition-filter level (bucketed table)."""
+    out = str(tmp_path_factory.mktemp("job_ts_prune"))
+    job = ExtractionJob(out)
+    r1 = job.run(spark, gen_docs_df(spark, 20))
+    time.sleep(0.05)
+    r2 = job.run(spark, gen_docs_df(spark, 40))  # resume: second half
+
+    stats = job.results.run_stats()
+    assert set(stats) == {r1, r2}
+    assert all(s["col"] == "ts" and s["min_us"] == s["max_us"]
+               for s in stats.values())  # one commit stamp per run: exact
+
+    # window that covers only run 2 (strictly after run 1's stamp)
+    from datetime import timedelta
+    from xs_vlm_ocr_spark.table_io import _EPOCH
+
+    split = _EPOCH + timedelta(microseconds=stats[r1]["max_us"] + 1)
+    recent = job.read_results(spark, ts_start=split)
+    assert recent.count() == 20
+    plan = recent._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert r2 in plan and r1 not in plan, plan
+    # time bounds compose with the row-level history predicate
+    assert filter_history(recent, ts_col="ts", keyword="the",
+                          keyword_cols=("full_text",)).count() == \
+        filter_history(job.read_results(spark), ts_col="ts", keyword="the",
+                       keyword_cols=("full_text",)).filter(
+            F.col("ts") >= F.lit(split)).count()
+
+
+def test_job_compact_after_bounds_run_count(spark, tmp_path_factory):
+    """Round-6 directive 6: the compaction policy hook keeps the
+    run-count (and so the file count) bounded across repeated ingests."""
+    out = str(tmp_path_factory.mktemp("job_policy"))
+    job = ExtractionJob(out)
+    for i in range(4):
+        job.run(spark, gen_docs_df(spark, 10 * (i + 1)), compact_after=2)
+        assert len(job.results.committed_runs()) <= 2
+        assert len(job.lineage.committed_runs()) <= 2
+    res = job.read_results(spark)
+    assert res.count() == 40
+    # retention stats survive the policy (recomputed on merge)
+    assert len(job.results.run_stats()) == len(job.results.committed_runs())
+
+
+def test_time_retention_on_results_is_manifest_only(spark, tmp_path_factory):
+    """Round-6 stretch 8: ts-axis retention on the engine's results =
+    expire whole runs from the manifest (each run has one commit stamp,
+    so no run ever straddles the cutoff) — no rewrite of kept data."""
+    out = str(tmp_path_factory.mktemp("job_expire"))
+    job = ExtractionJob(out)
+    r1 = job.run(spark, gen_docs_df(spark, 20))
+    time.sleep(0.05)
+    r2 = job.run(spark, gen_docs_df(spark, 40))
+
+    from datetime import timedelta
+    from xs_vlm_ocr_spark.table_io import _EPOCH
+
+    stats = job.results.run_stats()
+    cutoff = _EPOCH + timedelta(microseconds=stats[r1]["max_us"] + 1)
+    kept_files = set(spark.read.parquet(job.results.run_dir(r2)).inputFiles())
+
+    expired = job.results.expire_before(spark, cutoff)
+    assert expired == [r1]
+    assert job.results.committed_runs() == [r2]
+    assert set(job.read_results(spark).inputFiles()) == kept_files  # untouched
+    assert job.read_results(spark).count() == 20

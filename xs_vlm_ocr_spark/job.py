@@ -104,8 +104,15 @@ class ExtractionJob:
         # batch shuffles (plan pinned in tests/test_bucketing.py).
         # Iceberg analogue: bucket(32, content_hash) partition transform;
         # reference analogue: idx_content_hash (HistoryManager.cpp:70-77)
+        # stats_col="ts": every run's commit timestamp lands as min/max
+        # manifest stats (exact, no scan — one literal ts per run), so
+        # time-bounded history reads prune whole runs before any file
+        # opens and time retention is a pure manifest flip — the
+        # reference's SECOND index, idx_timestamp DESC
+        # (HistoryManager.cpp:70-77), as Iceberg manifest stats.
         self.results = CheckpointedTable(
-            os.path.join(out_dir, "results"), bucket_key="content_hash"
+            os.path.join(out_dir, "results"), bucket_key="content_hash",
+            stats_col="ts",
         )
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
 
@@ -203,9 +210,16 @@ class ExtractionJob:
 
     def run(self, spark: SparkSession, docs: DataFrame,
             run_id: str | None = None, target_partitions: int | None = None,
-            fail_after_staging: bool = False) -> str:
+            fail_after_staging: bool = False,
+            compact_after: int | None = None) -> str:
         """Execute + commit one run; returns run_id. ``fail_after_staging``
-        simulates a crash between write and commit (resume tests)."""
+        simulates a crash between write and commit (resume tests).
+
+        ``compact_after``: compaction POLICY — after this run commits,
+        any output table holding more than N committed runs is merged
+        into one snapshot (CheckpointedTable.maybe_compact), bounding
+        file-count growth across long-lived daily ingests; a crash
+        mid-compaction leaves every pre-policy snapshot committed."""
         from pyspark.sql import Observation
 
         run_id = run_id or uuid.uuid4().hex[:12]
@@ -244,7 +258,8 @@ class ExtractionJob:
         else:
             results, lineage = split_extraction_output(staged)
         self.results.append(
-            stamp_results(results, run_id, committed_at, self.source), run_id
+            stamp_results(results, run_id, committed_at, self.source), run_id,
+            stats_bounds=(committed_at, committed_at),
         )
         lineage = lineage.withColumn("run_id", F.lit(run_id)).withColumn(
             "stage", F.lit("extract")
@@ -259,10 +274,17 @@ class ExtractionJob:
             )
             lineage = lineage.unionByName(inv_row)
         self.lineage.append(lineage, run_id)
+        if compact_after is not None:
+            self.results.maybe_compact(spark, compact_after)
+            self.lineage.maybe_compact(spark, compact_after)
         return run_id
 
-    def read_results(self, spark: SparkSession) -> DataFrame | None:
-        return self.results.read(spark)
+    def read_results(self, spark: SparkSession, ts_start=None,
+                     ts_end=None) -> DataFrame | None:
+        """Committed results; optional inclusive ts window prunes whole
+        committed runs via manifest stats before any file opens (route
+        filter_history/paginate/retention time bounds through this)."""
+        return self.results.read(spark, ts_start=ts_start, ts_end=ts_end)
 
     def read_lineage(self, spark: SparkSession) -> DataFrame | None:
         return self.lineage.read(spark)

@@ -129,10 +129,17 @@ def retention_topn(df: DataFrame, n: int, ts_col: str, id_col: str) -> DataFrame
 def apply_retention(table, spark, n: int, ts_col: str = "ts", id_col: str = "id") -> None:
     """Enforce top-N retention on a checkpointed table: keep the newest
     N rows and rewrite as one compacted snapshot (reference O2+K6,
-    HistoryManager.cpp:330-363 + VACUUM :391-395)."""
+    HistoryManager.cpp:330-363 + VACUUM :391-395).
+
+    The rewrite plan is built from ``read_raw`` (plain parquet over the
+    committed run dirs, bypassing the catalog): a bucketed ``replace``
+    must never insert into the catalog table its own plan is scanning
+    (self-insert — replace() now refuses such plans outright). For
+    TIME-based retention prefer ``table.expire_before(spark, cutoff)``:
+    an O(metadata) manifest flip, no rewrite at all."""
     import uuid as _uuid
 
-    df = table.read(spark)
+    df = table.read_raw(spark)
     if df is None:
         return
     table.replace(retention_topn(df, n, ts_col, id_col), f"retain-{_uuid.uuid4().hex[:8]}")
