@@ -32,6 +32,12 @@ def main() -> None:
                     help="re-emit cached results for committed hashes as new "
                          "history rows with processing_time_ms=0 (reference "
                          "hit path); default is pure resume semantics")
+    ap.add_argument("--near-dup-threshold", type=float, default=None,
+                    help="enable the persisted MinHash near-dup ingest loop: "
+                         "probe each run's extracted text against the stored "
+                         "band index (committed corpus never re-read), commit "
+                         "pairs with est_jaccard >= T, append the increment's "
+                         "band rows; crash-consistent (heal on next run)")
     ap.add_argument("--compact-after", type=int, default=None,
                     help="compaction policy: after the run commits, merge any "
                          "output table holding more than N committed runs "
@@ -56,7 +62,8 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     job = ExtractionJob(args.output, model_name=args.model,
                         timeout_ms=args.timeout_ms, source=args.source,
-                        replay_hits=args.replay_hits)
+                        replay_hits=args.replay_hits,
+                        near_dup_threshold=args.near_dup_threshold)
     run_id = job.run(spark, docs, run_id=args.run_id,
                      target_partitions=args.partitions,
                      compact_after=args.compact_after)
@@ -64,17 +71,17 @@ def main() -> None:
     results = job.read_results(spark)
     lineage = job.read_lineage(spark).filter(f"run_id = '{run_id}'")
     stats = lineage.groupBy().sum("docs_in", "docs_out", "span_count", "wall_ms").first()
-    print(
-        json.dumps(
-            {
-                "run_id": run_id,
-                "total_results": results.count() if results is not None else 0,
-                "docs_in": stats[0] or 0,
-                "docs_out": stats[1] or 0,
-                "span_count": stats[2] or 0,
-            }
-        )
-    )
+    summary = {
+        "run_id": run_id,
+        "total_results": results.count() if results is not None else 0,
+        "docs_in": stats[0] or 0,
+        "docs_out": stats[1] or 0,
+        "span_count": stats[2] or 0,
+    }
+    if args.near_dup_threshold is not None:
+        pairs = job.read_near_dup_pairs(spark)
+        summary["near_dup_pairs"] = pairs.count() if pairs is not None else 0
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -241,7 +241,7 @@ def test_layout_mismatch_raises_and_migrate_rewrites(spark, tmp_path_factory):
 
 def test_legacy_manifest_layout_inferred_from_files(spark, tmp_path_factory):
     """Manifests written before the layout record existed: inference
-    from Spark's bucketed file-name stamp still catches the mismatch."""
+    via Spark's bucketed file-name stamp still catches the mismatch."""
     import json
 
     path = str(tmp_path_factory.mktemp("tbl_legacy") / "t")

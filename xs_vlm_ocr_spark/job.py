@@ -84,7 +84,9 @@ class ExtractionJob:
                  skew_sample_fraction: float = 0.05,
                  timeout_ms: int | None = None,
                  source: str = "batch",
-                 replay_hits: bool = False) -> None:
+                 replay_hits: bool = False,
+                 near_dup_threshold: float | None = None,
+                 minhash_params: tuple[int, int, int] = (16, 4, 3)) -> None:
         self.out_dir = out_dir
         self.model_name = model_name
         self.skew_sample_fraction = skew_sample_fraction
@@ -115,6 +117,26 @@ class ExtractionJob:
             stats_col="ts",
         )
         self.lineage = CheckpointedTable(os.path.join(out_dir, "lineage"), LINEAGE_SCHEMA)
+        # Near-dup ingestion loop (round-6 directive 2): when a
+        # threshold is set, every committed run's extracted text is (a)
+        # PROBED against the persisted MinHash band index — committed
+        # corpus text never re-read or re-hashed, candidates come from a
+        # single-key bucket equi-join with ZERO shuffle of the stored
+        # index side (the index table is bucketed on `bucket`; plan
+        # pinned in tests/test_text_dedup.py) — and (b) APPENDED to the
+        # index so the next increment sees it. The md5 hash family makes
+        # append==rebuild bit-exact, which is what lets the heal loop
+        # (sync_near_dup_index) recover from any crash between the
+        # results commit and the index append.
+        self.near_dup_threshold = near_dup_threshold
+        self.minhash_params = minhash_params
+        if near_dup_threshold is not None:
+            self.neardup_index = CheckpointedTable(
+                os.path.join(out_dir, "neardup_index"), bucket_key="bucket"
+            )
+            self.neardup_pairs = CheckpointedTable(
+                os.path.join(out_dir, "neardup_pairs")
+            )
 
     def plan(self, spark: SparkSession, docs: DataFrame,
              target_partitions: int | None = None,
@@ -139,6 +161,15 @@ class ExtractionJob:
         from xs_vlm_ocr_spark.operators.skew import doc_length_stats
 
         n_parts = target_partitions or spark.sparkContext.defaultParallelism * 3
+        # Skew stats come from the RAW subtree, BELOW the observe node
+        # (the quantile pass is an action — computing it on the
+        # post-anti-join plan would run the whole upstream twice, and it
+        # must never execute the Observation's plan: approxQuantile over
+        # an empty sample — routine for a small batch at 5% — completes
+        # the Observation with an EMPTY metrics row, and Observation
+        # locks its first result, so obs.get would raise forever after).
+        stats = doc_length_stats(valid_docs(docs),
+                                 sample_fraction=self.skew_sample_fraction)
         if observation is not None:
             docs = docs.observe(
                 observation,
@@ -152,10 +183,6 @@ class ExtractionJob:
                 ).alias("n_invalid"),
             )
         valid = valid_docs(docs)
-        # skew stats from the cheap raw scan (the quantile pass is an
-        # action — computing it on the post-anti-join plan would run the
-        # whole upstream twice)
-        stats = doc_length_stats(valid, sample_fraction=self.skew_sample_fraction)
         jobs = with_content_hash(valid, self.model_name)
         committed = self.results.read(spark)
         passthrough: list[str] = []
@@ -230,8 +257,30 @@ class ExtractionJob:
 
         # Single pass over the extraction: stage the combined output once,
         # then split results/lineage from the staged parquet (cheap scans).
+        # AQEPropagateEmptyRelation is excluded for THIS write only: when
+        # the resume anti-join leaves zero new docs (routine — a rerun of
+        # an already-ingested batch), that rule replans the subtree as an
+        # empty LocalRelation and drops the CollectMetrics node, so the
+        # Observation completes with a schema-less row and the invalid
+        # count is lost (reproduced on 4.1.2). Keeping the node costs
+        # nothing: by the time AQE learns the join is empty the observed
+        # stage has already run, and downstream stages see zero rows
+        # either way.
         staging = os.path.join(self.out_dir, "staging", run_id)
-        combined.write.mode("overwrite").parquet(staging)
+        _rule_key = "spark.sql.adaptive.optimizer.excludedRules"
+        _aqe_rule = ("org.apache.spark.sql.execution.adaptive."
+                     "AQEPropagateEmptyRelation")
+        _old_rules = spark.conf.get(_rule_key, None)
+        spark.conf.set(
+            _rule_key, f"{_old_rules},{_aqe_rule}" if _old_rules else _aqe_rule
+        )
+        try:
+            combined.write.mode("overwrite").parquet(staging)
+        finally:
+            if _old_rules is None:
+                spark.conf.unset(_rule_key)
+            else:
+                spark.conf.set(_rule_key, _old_rules)
         if fail_after_staging:
             return run_id  # crash point: nothing committed, table unchanged
 
@@ -274,10 +323,119 @@ class ExtractionJob:
             )
             lineage = lineage.unionByName(inv_row)
         self.lineage.append(lineage, run_id)
+        if self.near_dup_threshold is not None:
+            self.sync_near_dup_index(spark)
         if compact_after is not None:
             self.results.maybe_compact(spark, compact_after)
             self.lineage.maybe_compact(spark, compact_after)
+            if self.near_dup_threshold is not None:
+                # safe even for the index: all_time_runs() keeps the
+                # ingested-increment bookkeeping across compaction
+                self.neardup_index.maybe_compact(spark, compact_after)
+                self.neardup_pairs.maybe_compact(spark, compact_after)
         return run_id
+
+    def sync_near_dup_index(self, spark: SparkSession) -> list[str]:
+        """Bring the persisted near-dup index in step with the committed
+        results: for every results run not yet ingested (normally just
+        the run that was committed a moment ago; after a crash, the
+        suffix of runs the crash left behind), in commit order:
+
+          1. signatures+band rows for the increment are computed ONCE
+             (``minhash_band_index``, persisted for its three consumers);
+          2. cross-increment pairs: probe against the stored index —
+             single-key bucket equi-join, zero Exchange on the index
+             side, committed text never re-read (minhash_probe_index);
+          3. within-increment pairs off the same band rows
+             (minhash_pairs_from_index);
+          4. pairs >= threshold committed to ``neardup_pairs``, then the
+             band rows appended to ``neardup_index``.
+
+        CRASH CONSISTENCY: the ingested set is "results runs present in
+        neardup_index.all_time_runs()" — un-ingested runs are always a
+        suffix of the results manifest (step 4's index append is the
+        last commit per run), so replaying them in order reproduces the
+        no-crash outcome BIT-FOR-BIT: the signatures depend only on the
+        text (md5 family; append==rebuild equality is pinned in
+        tests/test_text_dedup.py), and each healed run probes exactly
+        the index state it would have seen. A pairs run that committed
+        before the crash is skipped by the same all_time_runs check
+        (its rewrite would be identical rows). Bookkeeping is on
+        all_time_runs, not committed_runs, so compacting either table
+        never makes an ingested increment look un-ingested.
+
+        Replay runs re-emit committed hashes as new rows; their band
+        rows re-enter the index as duplicate doc_ids, which is benign —
+        candidate pairs are groupBy(a, b)-deduplicated and self-pairs
+        are filtered — but callers doing heavy replay ingestion may
+        prefer near_dup on the non-replay job only."""
+        from xs_vlm_ocr_spark.operators.text_dedup import (
+            minhash_band_index,
+            minhash_pairs_from_index,
+            minhash_probe_index,
+        )
+
+        num_perm, bands, gram_n = self.minhash_params
+        ingested = self.neardup_index.all_time_runs()
+        committed = self.results.committed_runs()
+        # Rewrite snapshots (compaction / time retention / layout
+        # migration) are NOT increments: every row they hold came from
+        # runs sync already ingested — run() always syncs before
+        # maybe_compact — so ingesting one would duplicate the whole
+        # corpus in the index. They are skipped; the guard below keeps
+        # that skip honest.
+        rewrite = ("compact-", "expire-", "migrate-")
+        # LOUD guard against the one discipline violation that makes
+        # per-increment healing impossible: an original run that was
+        # never ingested but has already been absorbed by a rewrite (its
+        # run dir is gone, its rows indistinguishable inside the
+        # snapshot). Only manual compact()/expire() calls between a
+        # crash and the next run can produce this.
+        lost = {
+            r for r in self.results.all_time_runs()
+            if not r.startswith(rewrite)
+        } - ingested - set(committed)
+        if lost:
+            raise RuntimeError(
+                f"near-dup index at {self.neardup_index.path} is missing "
+                f"increments {sorted(lost)} whose results runs were already "
+                "compacted/expired away — per-increment healing is "
+                "impossible. Rebuild the index: delete the neardup_index "
+                "and neardup_pairs dirs and re-run (the md5 hash family "
+                "makes rebuild == the uncrashed append sequence bit-exactly)."
+            )
+        pending = [r for r in committed
+                   if r not in ingested and not r.startswith(rewrite)]
+        for r in pending:
+            inc = (
+                spark.read.parquet(self.results.run_dir(r))
+                .filter(F.col("success") & (F.length("full_text") > 0))
+                .select(F.col("content_hash").alias("doc_id"), "full_text")
+            )
+            fresh = minhash_band_index(
+                inc, "full_text", "doc_id", num_perm, bands, gram_n,
+                persist=True,
+            )
+            pairs = minhash_pairs_from_index(fresh, num_perm, bands, gram_n)
+            committed_idx = self.neardup_index.read(spark)
+            if committed_idx is not None:
+                pairs = pairs.unionByName(
+                    minhash_probe_index(
+                        None, committed_idx, num_perm=num_perm, bands=bands,
+                        n=gram_n, probe_rows=fresh,
+                    )
+                )
+            pairs = pairs.filter(
+                F.col("est_jaccard") >= self.near_dup_threshold
+            ).withColumn("run_id", F.lit(r))
+            if r not in self.neardup_pairs.all_time_runs():
+                self.neardup_pairs.append(pairs, r)
+            self.neardup_index.append(fresh, r)  # last commit: marks r done
+            fresh.unpersist()
+        return pending
+
+    def read_near_dup_pairs(self, spark: SparkSession) -> DataFrame | None:
+        return self.neardup_pairs.read(spark)
 
     def read_results(self, spark: SparkSession, ts_start=None,
                      ts_end=None) -> DataFrame | None:

@@ -339,6 +339,14 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
     what the driver contract value-checks end-to-end.
     """
     banded = minhash_band_index(df, text_col, id_col, num_perm, bands, n)
+    return _lsh_pairs_from_banded(banded, num_perm)
+
+
+def _lsh_pairs_from_banded(banded: DataFrame, num_perm: int) -> DataFrame:
+    """The LSH candidate self-join shared by minhash_lsh_pairs_portable
+    (fresh signatures) and minhash_pairs_from_index (precomputed or
+    committed band rows): docs sharing any bucket, a < b, one estimate
+    per pair."""
     a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
                       "bucket")
     b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
@@ -350,6 +358,19 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
         .groupBy("a", "b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
+
+
+def minhash_pairs_from_index(banded: DataFrame, num_perm: int = 16,
+                             bands: int = 4, n: int = 3) -> DataFrame:
+    """Within-set near-dup pairs from an EXISTING ``minhash_band_index``
+    output (precomputed this plan or read back from storage) — the
+    signature aggregation is not recomputed. Parameter stamps are
+    validated exactly like the probe path. The ingestion loop uses this
+    for within-increment pairs off the same band rows it is about to
+    append (job.ExtractionJob), so each increment's signatures are
+    computed ONCE for probe + self-pairs + index append."""
+    return _lsh_pairs_from_banded(_validated_index(banded, num_perm, bands, n),
+                                  num_perm)
 
 
 def _validated_index(index: DataFrame, num_perm: int, bands: int,
@@ -418,10 +439,11 @@ def minhash_index_append(index: DataFrame, new_docs: DataFrame,
     return guarded.unionByName(fresh)
 
 
-def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
+def minhash_probe_index(new_docs: DataFrame | None, index: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 16, bands: int = 4,
-                        n: int = 3) -> DataFrame:
+                        n: int = 3,
+                        probe_rows: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup: (a = indexed doc, b = new doc, est_jaccard)
     pairs between a NEW batch and a COMMITTED ``minhash_band_index``.
 
@@ -445,10 +467,19 @@ def minhash_probe_index(new_docs: DataFrame, index: DataFrame,
     different bands/gram_n just buckets differently (bogus candidates,
     wrong misses). ``_sig_est`` re-checks signature length below the
     stamps as defense-in-depth.
+
+    ``probe_rows``: an already-computed ``minhash_band_index`` output
+    for the new batch (stamp-validated like the committed side) —
+    callers that also self-pair and append the increment reuse ONE
+    signature computation for all three consumers (the job's ingestion
+    loop); ``new_docs`` is ignored when given.
     """
     guarded = _validated_index(index, num_perm, bands, n)
-    probe = minhash_band_index(new_docs, text_col, id_col, num_perm, bands,
-                               n, persist=False)
+    if probe_rows is not None:
+        probe = _validated_index(probe_rows, num_perm, bands, n)
+    else:
+        probe = minhash_band_index(new_docs, text_col, id_col, num_perm,
+                                   bands, n, persist=False)
     a = guarded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
                        "bucket")
     b = probe.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),

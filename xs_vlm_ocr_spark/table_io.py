@@ -181,14 +181,32 @@ class CheckpointedTable:
             )
 
     def _write_manifest(self, runs: list[str], stats: dict) -> None:
-        """The ONLY commit point: write-temp + atomic rename."""
+        """The ONLY commit point: write-temp + atomic rename.
+
+        ``ancestry`` tracks every run id EVER committed that a rewrite
+        (compact/replace/expire/migrate) later absorbed or dropped —
+        Iceberg snapshot-lineage analogue. ``all_time_runs`` stays
+        stable across rewrites, which is what incremental consumers
+        keyed on run ids (the near-dup index heal loop, job.py) need:
+        compacting an index table must not make its ingested increments
+        look un-ingested."""
+        old = self._load_manifest() or {}
+        prev = set(old.get("runs", [])) | set(old.get("ancestry", []))
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(self.path, exist_ok=True)
         stats = {r: s for r, s in stats.items() if r in set(runs)}
         with open(tmp, "w") as f:
             json.dump({"runs": runs, "layout": self._layout(),
-                       "stats": stats}, f)
+                       "stats": stats,
+                       "ancestry": sorted(prev - set(runs))}, f)
         os.replace(tmp, self.manifest_path)  # atomic commit point
+
+    def all_time_runs(self) -> set[str]:
+        """Every run id ever committed, including those folded away by
+        rewrites — the stable bookkeeping key for incremental ingestion
+        (a compacted table still knows which increments it contains)."""
+        m = self._load_manifest() or {}
+        return set(m.get("runs", [])) | set(m.get("ancestry", []))
 
     def _commit(self, run_id: str, run_stat: dict | None = None) -> None:
         runs = self.committed_runs()
@@ -310,7 +328,7 @@ class CheckpointedTable:
         vs the committed ones (order-insensitive; run_id excluded).
         The committed schema comes from the catalog entry when
         registered, else — fresh session appending to durable files —
-        from an existing run dir's parquet footer, so the guard holds
+        out of an existing run dir's parquet footer, so the guard holds
         across session restarts too. Returns a human diff or None."""
         if spark.catalog.tableExists(self.table_name):
             committed = spark.table(self.table_name).schema
