@@ -98,14 +98,23 @@ def main() -> None:
     extract_sec, n_docs = _extract_bench(spark)
     qtimes["extract_corpus"] = round(extract_sec, 3)
 
-    # min of 2 runs per query, after a tiny-scale warmup pass: identical
+    # min of N runs per query, after a tiny-scale warmup pass: identical
     # plans measured cold vs JIT-warm differ up to 20x (the generated
     # whole-stage code tiers up through the JVM's C1/C2 compilers), and
     # the VM adds minute-scale host noise (±15% with 3-8x outliers — see
     # BENCH/BASELINE.md). Warmup compiles the codegen paths on ~50 rows;
-    # min-of-2 then measures the engine's steady state, not the host.
-    # Each timed run rebuilds the full plan (no result reuse —
-    # operator-level persists are per-DataFrame; fresh calls recompute).
+    # min-of-N then measures the engine's steady state, not the host.
+    # Each timed run rebuilds the full plan AND starts cache-cold:
+    # Spark's CacheManager matches persist() by CANONICAL LOGICAL PLAN,
+    # so a rebuilt identical query silently reuses the previous run's
+    # materialized operator-level persists (ngram_jaccard_pairs,
+    # minhash_lsh_pairs) — without the clearCache below, min-of-N
+    # measured a cache-warm rerun that skips the shingle/signature
+    # computation entirely, a state no production single-shot query
+    # ever sees (adjudicated r6, BENCH/BASELINE.md: 4.4 s recompute vs
+    # 0.5-1.1 s cached rerun at quiet load, identical 108-node plans).
+    # Per-query numbers for those two queries from rounds <= 5 are
+    # cache-warm and NOT comparable with r6+.
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     queries = entrymod.queries()
@@ -124,6 +133,7 @@ def main() -> None:
             _force(queries[name](spark, WARM_DIR))
         best = float("inf")
         for _ in range(RUNS):
+            spark.catalog.clearCache()  # no cross-run persist reuse
             _LOADS.setdefault(name, []).append(round(os.getloadavg()[0], 1))
             t0 = time.monotonic()
             _force(queries[name](spark, SF_DIR))
@@ -154,6 +164,9 @@ def main() -> None:
                     # extract numbers before r4 — are NOT comparable
                     # (BENCH/BASELINE.md).
                     "forcing": "noop-write-all-queries",
+                    # r6+: cache cleared before every timed run — see
+                    # the CacheManager canonical-plan note above
+                    "cache": "cleared-before-each-run",
                     # loadavg at the START of each timed run + that run's
                     # raw seconds (same order) — a regressed min with a
                     # high load stamp is host noise, not the engine
