@@ -198,6 +198,24 @@ def test_rewrite_snapshots_are_not_increments(spark, tmp_path_factory):
     }
 
 
+def test_zero_row_run_is_marked_ingested(spark, tmp_path_factory):
+    """A rerun of an already-committed batch produces a results run with
+    ZERO rows — the manifest commits it but no run_id partition dir is
+    written. Sync must not crash on the missing path, and must still
+    MARK the run ingested (else healing reconsiders it forever)."""
+    out = str(tmp_path_factory.mktemp("job_nd_zero"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    batch = _docs(spark, [("a", NEAR_A), ("b", NEAR_B)])
+    r1 = job.run(spark, batch)
+    r2 = job.run(spark, batch)  # all docs resumed away: zero-row run
+    assert r2 in job.neardup_index.all_time_runs()
+    assert job.sync_near_dup_index(spark) == []  # nothing pending
+    # index content unchanged: one entry per (doc, band), no dupes
+    h = _text_to_hash(job, spark)
+    assert len(_index_rows(job, spark)) == 4 * len(h)
+    assert _pair_set(job, spark) == {tuple(sorted((h[NEAR_A], h[NEAR_B])))}
+
+
 def test_lost_increment_fails_loud(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("job_nd_lost"))
     job = ExtractionJob(out, near_dup_threshold=0.5)

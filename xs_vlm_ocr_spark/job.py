@@ -407,11 +407,25 @@ class ExtractionJob:
         pending = [r for r in committed
                    if r not in ingested and not r.startswith(rewrite)]
         for r in pending:
-            inc = (
-                spark.read.parquet(self.results.run_dir(r))
-                .filter(F.col("success") & (F.length("full_text") > 0))
-                .select(F.col("content_hash").alias("doc_id"), "full_text")
-            )
+            run_path = self.results.run_dir(r)
+            if os.path.isdir(run_path):
+                inc = (
+                    spark.read.parquet(run_path)
+                    .filter(F.col("success") & (F.length("full_text") > 0))
+                    .select(F.col("content_hash").alias("doc_id"), "full_text")
+                )
+            else:
+                # A committed run with ZERO result rows (e.g. a rerun
+                # whose docs were all already committed) writes no
+                # run_id partition dir — the manifest entry is the only
+                # trace. Nothing to probe or index, but the run must
+                # still flow through the normal path so the index
+                # manifest MARKS it ingested (else healing reconsiders
+                # it forever). An empty frame of the results' probe
+                # schema keeps every downstream step on one code path.
+                inc = spark.createDataFrame(
+                    [], "doc_id string, full_text string"
+                )
             fresh = minhash_band_index(
                 inc, "full_text", "doc_id", num_perm, bands, gram_n,
                 persist=True,
