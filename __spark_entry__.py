@@ -496,6 +496,52 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_neardup_clusters(spark, sf_dir):
+    """Pairs -> CLUSTERS: the step an actual dedup pass needs after any
+    pair emitter. Connected components of the banded-MinHash near-dup
+    pair graph via alternating large-star/small-star (Kiveris et al.,
+    SoCC 2014 — O(log n) rounds of plain groupBy/join, no driver-side
+    union-find), then every document assigned its cluster (minimum
+    member doc_id; docs in no pair are their own singleton cluster) and
+    is_canonical marks the one row per cluster a dedup keeps. Oracle:
+    recursive-CTE transitive closure over the identical pair set."""
+    from xs_vlm_ocr_spark.operators.components import assign_clusters
+    from xs_vlm_ocr_spark.operators.text_dedup import minhash_lsh_pairs_portable
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(docs, num_perm=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return assign_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    """Train/test decontamination (GPT-3 appendix-C discipline): train
+    docs (doc_id % 5 != 0) sharing any distinct word 3-gram with the
+    held-out set (doc_id % 5 = 0), with the distinct-overlap count. The
+    test gram set is broadcast — the 100 TB train side never shuffles
+    its grams."""
+    from xs_vlm_ocr_spark.operators.text_dedup import ngram_contamination
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return ngram_contamination(train, test, n=3, min_hits=1)
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (word-2-gram
+    duplicate fraction + most-frequent-gram share; Rae et al. 2021
+    A1.1). One explode -> two hash aggregations, all JVM; the top-gram
+    argmin rides the same aggregation via min(struct(-count, gram))."""
+    from xs_vlm_ocr_spark.operators.text_analysis import repetition_signals
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, n=2)
+
+
 def _q_incremental_minhash(spark, sf_dir):
     """Incremental near-dup: new batch (doc_id % 5 = 0) probed against a
     committed minhash_band_index of the rest of the corpus. Signatures
@@ -838,6 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "neardup_clusters": _q_neardup_clusters,
+        "ngram_contamination": _q_ngram_contamination,
+        "repetition_signals": _q_repetition_signals,
         "incremental_minhash_probe": _q_incremental_minhash,
         "minhash_index_maintenance": _q_minhash_index_maintenance,
         "simhash_near_pairs": _q_simhash_near,
@@ -1063,6 +1112,119 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.a, c.b
             HAVING CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
                      / 16.0 >= 0.5
+        """,
+        "neardup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            mins AS (
+              SELECT doc_id, p.i AS i,
+                     min(CAST(('0x' || substr(
+                           md5(CAST(p.i AS VARCHAR) || '|' || g), 1, 15))
+                         AS BIGINT)) AS m
+              FROM grams, LATERAL (SELECT unnest(range(0, 16)) AS i) AS p
+              GROUP BY doc_id, p.i
+            ),
+            buckets AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     md5(CAST(i // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM buckets x JOIN buckets y USING (bucket)
+              WHERE x.doc_id < y.doc_id
+            ),
+            prs AS (
+              SELECT c.a, c.b
+              FROM cand c
+              JOIN mins ma ON ma.doc_id = c.a
+              JOIN mins mb ON mb.doc_id = c.b AND mb.i = ma.i
+              GROUP BY c.a, c.b
+              HAVING CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+                       / 16.0 >= 0.5
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs
+            ),
+            reach AS (
+              SELECT u AS node, u AS r FROM edges
+              UNION
+              SELECT e.v AS node, reach.r AS r
+              FROM reach JOIN edges e ON e.u = reach.node
+            ),
+            comp AS (
+              SELECT node, min(r) AS cluster FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster_id,
+                   CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS INT) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        "ngram_contamination": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            te AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM grams JOIN te USING (g)
+            WHERE doc_id % 5 <> 0
+            GROUP BY doc_id
+            HAVING count(*) >= 1
+        """,
+        "repetition_signals": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, array_to_string(t[i.i : i.i+1], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-1, 1) + 1)) AS i) AS i
+              WHERE array_to_string(t[i.i : i.i+1], ' ') <> ''
+            ),
+            counts AS (
+              SELECT doc_id, g, count(*) AS _n FROM occ GROUP BY doc_id, g
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(sum(_n) AS BIGINT) AS n_grams,
+                     CAST(count(*) AS BIGINT) AS n_distinct_grams
+              FROM counts GROUP BY doc_id
+            ),
+            top AS (
+              SELECT doc_id, g, _n FROM (
+                SELECT doc_id, g, _n,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY _n DESC, g ASC) AS rn
+                FROM counts
+              ) WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(p.n_distinct_grams, 0) AS n_distinct_grams,
+                   coalesce(CAST(p.n_grams - p.n_distinct_grams AS DOUBLE)
+                              / p.n_grams, 0.0) AS dup_gram_frac,
+                   coalesce(t.g, '') AS top_gram,
+                   coalesce(CAST(t._n AS DOUBLE) / p.n_grams, 0.0) AS top_gram_frac
+            FROM documents d
+            LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            LEFT JOIN top t ON t.doc_id = d.doc_id
         """,
         "minhash_index_maintenance": f"""
             WITH toks AS (

@@ -1,0 +1,105 @@
+"""Edge cases + plan pins for the Gopher-style repetition signals and
+the train/test n-gram contamination operator (the sf0.01 contract run
+exercises the bulk path; these pin the boundaries it can miss)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xs_vlm_ocr_spark.operators.text_analysis import repetition_signals
+from xs_vlm_ocr_spark.operators.text_dedup import ngram_contamination
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)], "doc_id long, text string"
+    )
+
+
+def _rep(spark, texts, n=2):
+    rows = repetition_signals(_docs(spark, texts), n=n).collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def test_repetition_counts_and_fracs(spark):
+    got = _rep(spark, ["a a a a"])[1]
+    # 2-grams of [a,a,a,a]: "a a" x3
+    assert got["n_grams"] == 3
+    assert got["n_distinct_grams"] == 1
+    assert got["dup_gram_frac"] == (3 - 1) / 3
+    assert got["top_gram"] == "a a"
+    assert got["top_gram_frac"] == 1.0
+
+
+def test_repetition_top_gram_tie_is_lexicographic(spark):
+    got = _rep(spark, ["x y x z"])[1]
+    # grams "x y", "y x", "x z" each once -> deterministic lexicographic min
+    assert got["n_grams"] == 3 and got["n_distinct_grams"] == 3
+    assert got["top_gram"] == "x y"
+    assert got["dup_gram_frac"] == 0.0
+
+
+def test_repetition_short_and_empty_docs(spark):
+    got = _rep(spark, ["hello", "", "  "])
+    # a 1-token doc yields one truncated "gram" (mirrors the oracle slice)
+    assert got[1]["n_grams"] == 1 and got[1]["top_gram"] == "hello"
+    for d in (2, 3):  # no grams at all -> zero row, empty top_gram
+        assert got[d]["n_grams"] == 0
+        assert got[d]["dup_gram_frac"] == 0.0
+        assert got[d]["top_gram"] == ""
+        assert got[d]["top_gram_frac"] == 0.0
+
+
+def test_repetition_no_window_in_plan(spark):
+    df = repetition_signals(_docs(spark, ["a b c", "a a a"]), n=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the top-gram argmin rides the aggregation — never a corpus window
+    assert "Window" not in plan
+
+
+def _contam(spark, train, test, **kw):
+    test_df = _docs(spark, test).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    rows = ngram_contamination(_docs(spark, train), test_df, **kw).collect()
+    return {r["doc_id"]: r["n_contaminated"] for r in rows}
+
+
+def test_contamination_flags_overlapping_train_docs(spark):
+    train = [
+        "the quick brown fox jumps",  # all 3 of its 3-grams are in the test set
+        "completely different words here now",
+        "the quick brown dog",  # shares "the quick brown" only
+    ]
+    test = ["the quick brown fox jumps over"]
+    got = _contam(spark, train, test, n=3, min_hits=1)
+    assert got == {1: 3, 3: 1}
+
+
+def test_contamination_min_hits_threshold(spark):
+    train = ["the quick brown fox jumps", "the quick brown dog"]
+    test = ["the quick brown fox jumps over"]
+    got = _contam(spark, train, test, n=3, min_hits=2)
+    assert got == {1: 3}  # doc2's single hit falls below the threshold
+
+
+def test_contamination_shuffle_path_matches_broadcast_path(spark):
+    train = ["alpha beta gamma delta", "beta gamma delta epsilon", "zeta eta theta"]
+    test = ["gamma delta epsilon alpha beta gamma"]
+    a = _contam(spark, train, test, n=2, broadcast_test=True)
+    b = _contam(spark, train, test, n=2, broadcast_test=False)
+    assert a == b and a  # identical and non-empty
+
+
+def test_contamination_broadcasts_test_side(spark):
+    df = ngram_contamination(
+        _docs(spark, ["a b c d", "e f g h"]),
+        _docs(spark, ["c d e f"]),
+        n=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the tiny test-gram set must broadcast: the 100 TB train side never
+    # shuffles its grams
+    assert "BroadcastHashJoin" in plan

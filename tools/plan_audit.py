@@ -119,6 +119,28 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     "simhash_near_pairs": [
         ("no python UDF anywhere in the plan (portable twin)", _absent("PythonUDF")),
     ],
+    "neardup_clusters": [
+        # large-star/small-star already converged when this df is built;
+        # the returned plan is the final docs-side cluster assignment
+        ("cluster assignment is an equi join", _equi_join),
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+        ("no corpus window", lambda p: "Window [" not in p),
+    ],
+    "ngram_contamination": [
+        # the tiny held-out gram set broadcasts; the train side (the
+        # 100 TB one) never shuffles its grams
+        ("test gram set broadcast", _has("BroadcastHashJoin")),
+        ("map-side partial aggregation", _has("partial_count")),
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+    ],
+    "repetition_signals": [
+        # top-gram argmin rides min(struct(-count, gram)) inside the
+        # aggregation — a per-doc window would serialize hot docs
+        ("no corpus window (argmin rides the aggregation)",
+         lambda p: "Window [" not in p),
+        ("map-side partial aggregation", _has("partial_count")),
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+    ],
     "config_inheritance_join": [
         ("dim side broadcast", _has("BroadcastHashJoin")),
     ],

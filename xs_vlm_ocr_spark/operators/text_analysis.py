@@ -108,3 +108,62 @@ def fingerprint64_md5(text: Column) -> Column:
     keep the value inside the positive BIGINT range on both sides."""
     canon = F.regexp_replace(F.trim(text), WS_RE, " ")
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 2):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    Appendix A1.1 "repetitious text" filters), adapted to word n-grams
+    — the duplicate-line/paragraph variants need line structure the
+    corpus schema does not guarantee, while the n-gram variants are the
+    ones that survive normalization anyway.
+
+    Per doc: n_grams (total n-gram occurrences), n_distinct_grams,
+    dup_gram_frac (fraction of occurrences that repeat an already-seen
+    gram), top_gram (most frequent; ties -> lexicographically smallest,
+    so deterministic), top_gram_frac (its share of all occurrences).
+    Docs too short for any n-gram get zero counts and an empty top_gram.
+
+    Plan shape: explode -> two-level hash aggregation, all JVM. The
+    top-gram argmin rides the SAME aggregation as the counts via
+    min(struct(-count, gram)) — one shuffle on (doc, gram), one on doc,
+    both with map-side partial aggregation; no window over the corpus.
+    """
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    occurrences = (
+        fan_out_small_input(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .filter(F.col("g") != "")
+    )
+    counts = occurrences.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("_n").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.min(F.struct((-F.col("_n")).alias("negn"), F.col("g"))).alias("_top"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+            F.coalesce(
+                (F.col("n_grams") - F.col("n_distinct_grams")) * 1.0
+                / F.col("n_grams"),
+                F.lit(0.0),
+            ).alias("dup_gram_frac"),
+            F.coalesce(F.col("_top.g"), F.lit("")).alias("top_gram"),
+            F.coalesce(
+                (-F.col("_top.negn")) * 1.0 / F.col("n_grams"), F.lit(0.0)
+            ).alias("top_gram_frac"),
+        )
+    )

@@ -898,3 +898,37 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         .filter(F.col("cosine") >= threshold)
         .select("a", "b")
     )
+
+
+def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 3,
+                        min_hits: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        broadcast_test: bool = True) -> DataFrame:
+    """Train/test decontamination: train docs sharing >= min_hits
+    DISTINCT word n-grams with ANY test document (the GPT-3 appendix-C
+    discipline — Brown et al. 2020 flag training docs by 13-gram overlap
+    with benchmark sets; n is a parameter here).
+
+    Output: (doc_id, n_contaminated) for flagged train docs, where
+    n_contaminated counts the distinct contaminated grams.
+
+    100 TB shape: benchmark/test corpora are tiny (10^4-10^6 grams)
+    against a 10^12-gram train side, so the test gram set is globally
+    deduplicated then BROADCAST — the train side streams map-side with
+    zero shuffle of train grams. Set broadcast_test=False when the
+    "test" side is itself corpus-scale; the join then hash-partitions
+    on the gram string and AQE handles hot grams.
+    """
+    tr = with_word_gram_strings(train, text_col=text_col, n=n, id_col=id_col)
+    te = (
+        with_word_gram_strings(test, text_col=text_col, n=n, id_col=id_col)
+        .select("g").distinct()
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    return (
+        tr.join(te, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_hits)
+    )
