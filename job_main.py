@@ -38,6 +38,12 @@ def main() -> None:
                          "band index (committed corpus never re-read), commit "
                          "pairs with est_jaccard >= T, append the increment's "
                          "band rows; crash-consistent (heal on next run)")
+    ap.add_argument("--emit-clusters", default=None, metavar="DIR",
+                    help="after the run, materialize the committed-corpus "
+                         "dedup decision (content_hash -> cluster_id, "
+                         "is_canonical; connected components over the "
+                         "committed near-dup pairs) as parquet at DIR; "
+                         "requires --near-dup-threshold")
     ap.add_argument("--compact-after", type=int, default=None,
                     help="compaction policy: after the run commits, merge any "
                          "output table holding more than N committed runs "
@@ -81,6 +87,14 @@ def main() -> None:
     if args.near_dup_threshold is not None:
         pairs = job.read_near_dup_pairs(spark)
         summary["near_dup_pairs"] = pairs.count() if pairs is not None else 0
+        if args.emit_clusters:
+            clusters = job.near_dup_clusters(spark)
+            clusters.write.mode("overwrite").parquet(args.emit_clusters)
+            emitted = spark.read.parquet(args.emit_clusters)
+            summary["clusters"] = emitted.select("cluster_id").distinct().count()
+            summary["duplicate_docs"] = emitted.filter("is_canonical = 0").count()
+    elif args.emit_clusters:
+        ap.error("--emit-clusters requires --near-dup-threshold")
     print(json.dumps(summary))
 
 

@@ -47,3 +47,39 @@ def test_job_main_end_to_end_and_resume(spark, tmp_path, monkeypatch, capsys):
     res = ExtractionJob(out_dir).read_results(spark)
     hits = res.filter("processing_time_ms = 0 AND source = 'retry'")
     assert hits.count() == 40
+
+
+def test_job_main_emit_clusters(spark, tmp_path, monkeypatch, capsys):
+    """--emit-clusters materializes the committed-corpus dedup decision
+    (requires --near-dup-threshold; errors out without it)."""
+    import pytest
+
+    from xs_vlm_ocr_spark.schemas import DOCS_SCHEMA
+
+    base = " ".join(f"w{i:03d}" for i in range(200))
+    rows = [
+        {"doc_id": d,
+         "spans": [{"kind": "text", "text": t, "media_ref": "", "offset": 0}]}
+        for d, t in [("a", base), ("b", base.replace("w050", "changed")),
+                     ("c", " ".join(f"u{i:03d}" for i in range(120)))]
+    ]
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    cl_dir = str(tmp_path / "clusters")
+    spark.createDataFrame(rows, DOCS_SCHEMA).write.parquet(docs_dir)
+
+    summary = _run_cli(monkeypatch, capsys,
+                       ["--input", docs_dir, "--output", out_dir,
+                        "--near-dup-threshold", "0.5",
+                        "--emit-clusters", cl_dir])
+    # a ~ b near-dups -> 2 clusters over 3 docs, one duplicate dropped
+    assert summary["near_dup_pairs"] == 1
+    assert summary["clusters"] == 2
+    assert summary["duplicate_docs"] == 1
+    emitted = spark.read.parquet(cl_dir)
+    assert emitted.filter("is_canonical = 1").count() == 2
+
+    with pytest.raises(SystemExit):  # flag without the near-dup loop
+        _run_cli(monkeypatch, capsys,
+                 ["--input", docs_dir, "--output", out_dir,
+                  "--emit-clusters", cl_dir])

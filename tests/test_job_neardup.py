@@ -216,6 +216,29 @@ def test_zero_row_run_is_marked_ingested(spark, tmp_path_factory):
     assert _pair_set(job, spark) == {tuple(sorted((h[NEAR_A], h[NEAR_B])))}
 
 
+def test_near_dup_clusters_decision(spark, tmp_path_factory):
+    """pairs -> clusters on the job surface: the committed corpus'
+    dedup DECISION (content_hash -> cluster_id, is_canonical) via
+    distributed connected components over the committed pairs table;
+    docs in no pair are their own singleton cluster."""
+    out = str(tmp_path_factory.mktemp("job_nd_clusters"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("a", NEAR_A), ("b", NEAR_B), ("c", OTHER_C)]))
+    job.run(spark, _docs(spark, [("d", NEAR_D)]))
+
+    h = _text_to_hash(job, spark)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in job.near_dup_clusters(spark).collect()}
+    assert set(rows) == set(h.values())  # every committed doc decided
+    trio = sorted(h[t] for t in (NEAR_A, NEAR_B, NEAR_D))
+    # A~B and A~D, B~D pairs -> one transitive cluster, min-hash canonical
+    for t in trio:
+        assert rows[t] == (trio[0], 1 if t == trio[0] else 0)
+    assert rows[h[OTHER_C]] == (h[OTHER_C], 1)  # singleton is canonical
+    n_canonical = sum(c for _, c in rows.values())
+    assert n_canonical == 2  # one winner for the trio + the singleton
+
+
 def test_lost_increment_fails_loud(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("job_nd_lost"))
     job = ExtractionJob(out, near_dup_threshold=0.5)

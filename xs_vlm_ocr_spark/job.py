@@ -451,6 +451,34 @@ class ExtractionJob:
     def read_near_dup_pairs(self, spark: SparkSession) -> DataFrame | None:
         return self.neardup_pairs.read(spark)
 
+    def near_dup_clusters(self, spark: SparkSession) -> DataFrame | None:
+        """The dedup DECISION over the committed corpus: every committed
+        successful doc (content_hash) assigned its near-dup cluster and
+        an ``is_canonical`` flag — the one row per cluster a dedup pass
+        keeps (minimum hash; deterministic). Pairs -> transitive closure
+        via the distributed large-star/small-star connected components
+        (operators/components.py); docs in no pair are their own
+        singleton cluster.
+
+        Derived, not persisted: a pure function of the committed pairs
+        table, bit-reproducible after any crash/heal (the pairs table is
+        the crash-consistent artifact). Returns None when the job has
+        never committed results."""
+        from xs_vlm_ocr_spark.operators.components import assign_clusters
+
+        results = self.read_results(spark)
+        if results is None:
+            return None
+        docs = (
+            results.filter(F.col("success") & (F.length("full_text") > 0))
+            .select(F.col("content_hash").alias("doc_id"))
+            .distinct()  # replay runs re-emit committed hashes
+        )
+        pairs = self.read_near_dup_pairs(spark)
+        if pairs is None:
+            pairs = spark.createDataFrame([], "a string, b string")
+        return assign_clusters(docs, pairs, id_col="doc_id")
+
     def read_results(self, spark: SparkSession, ts_start=None,
                      ts_end=None) -> DataFrame | None:
         """Committed results; optional inclusive ts window prunes whole
