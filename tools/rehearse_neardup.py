@@ -170,6 +170,21 @@ def main() -> None:
     # per band, no duplicates from the heal or the compaction
     assert report["final_state"]["index_rows"] == \
         4 * report["final_state"]["index_docs"], report["final_state"]
+
+    # pass 4: the dedup DECISION on the CLI surface — a no-new-docs
+    # rerun with --emit-clusters materializes connected components over
+    # the committed pairs (each planted twin pair collapses to one
+    # cluster with one canonical winner)
+    cl_dir = os.path.join(workdir, "clusters")
+    wall, summary = run_cli(inputs["b3"], out, "--emit-clusters", cl_dir)
+    report["pass4_clusters"] = {"wall_s": round(wall, 1), **summary,
+                                "loadavg": round(os.getloadavg()[0], 1)}
+    n_docs = report["final_state"]["index_docs"]
+    assert summary["clusters"] + summary["duplicate_docs"] == n_docs
+    assert summary["duplicate_docs"] >= 200  # every planted twin decided
+    emitted = spark.read.parquet(cl_dir)
+    assert emitted.count() == n_docs
+    assert emitted.filter("is_canonical = 1").count() == summary["clusters"]
     print(json.dumps(report, indent=2))
 
 
