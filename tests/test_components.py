@@ -99,6 +99,50 @@ def test_empty_pairs(spark):
     assert all(r["is_canonical"] == 1 for r in rows)
 
 
+def test_incremental_equals_full_on_random_batches(spark):
+    """Star compression preserves connectivity: updating a previous
+    assignment with only the NEW pairs is bit-equal to a full CC over
+    the union — the property that makes per-ingest cluster maintenance
+    O(nodes + new pairs) instead of O(all pairs ever)."""
+    from xs_vlm_ocr_spark.operators.components import incremental_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 50
+        all_edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 70))
+        ]
+        all_edges = [e for e in all_edges if e[0] != e[1]]
+        cut = len(all_edges) // 2
+        e1, e2 = all_edges[:cut], all_edges[cut:]
+        if not e1 or not e2:
+            continue
+        prev = connected_components(
+            spark.createDataFrame(e1, "a long, b long")
+        )
+        inc = incremental_components(
+            prev, spark.createDataFrame(e2, "a long, b long")
+        )
+        got = {r["node"]: r["component"] for r in inc.collect()}
+        assert got == _union_find(all_edges), f"trial {trial}"
+
+
+def test_incremental_preserves_singleton_prev_nodes(spark):
+    """A previous root/singleton with no new pair stays in the output
+    (closed under composition)."""
+    from xs_vlm_ocr_spark.operators.components import incremental_components
+
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 9)], "node long, component long"
+    )
+    inc = incremental_components(
+        prev, spark.createDataFrame([(2, 5)], "a long, b long")
+    )
+    got = {r["node"]: r["component"] for r in inc.collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 9: 9}
+
+
 def test_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):

@@ -137,6 +137,13 @@ class ExtractionJob:
             self.neardup_pairs = CheckpointedTable(
                 os.path.join(out_dir, "neardup_pairs")
             )
+            # the maintained cluster assignment (node -> component) for
+            # pair-involved docs — one snapshot, incrementally advanced
+            # by sync_clusters (star compression: previous assignment +
+            # new pairs only, never the full pair history)
+            self.neardup_clusters_tbl = CheckpointedTable(
+                os.path.join(out_dir, "neardup_clusters")
+            )
 
     def plan(self, spark: SparkSession, docs: DataFrame,
              target_partitions: int | None = None,
@@ -451,33 +458,115 @@ class ExtractionJob:
     def read_near_dup_pairs(self, spark: SparkSession) -> DataFrame | None:
         return self.neardup_pairs.read(spark)
 
+    _REWRITE_PREFIXES = ("compact-", "expire-", "migrate-")
+
+    def sync_clusters(self, spark: SparkSession) -> str | None:
+        """Bring the persisted cluster assignment in step with the
+        committed pairs, INCREMENTALLY: star compression preserves
+        connectivity (CC(stars(CC(E1)) ∪ E2) == CC(E1 ∪ E2)), so the
+        update reads the previous assignment (one row per clustered
+        node) plus only the NOT-YET-REFLECTED pairs runs — never the
+        full pair history. At corpus scale that turns per-ingest
+        cluster maintenance from O(all pairs ever) into O(clustered
+        nodes + new pairs); bit-equal to the full recompute (pinned by
+        tests/test_job_neardup.py).
+
+        Bookkeeping: every snapshot row carries the set of pairs runs
+        it reflects (``src_runs``, a constant column — free under
+        parquet RLE, survives any manifest surgery; same stamp
+        discipline as the minhash index params). A pending run whose
+        dir was already absorbed by a pairs compaction can't be read
+        individually — the sync falls back to a full rebuild from the
+        committed pairs, which is always correct (the assignment is
+        derived state). The snapshot flip is atomic (replace()), so a
+        crash mid-sync leaves the previous consistent snapshot and the
+        next sync redoes the increment idempotently.
+
+        Returns the new snapshot id, or None if already in step."""
+        import hashlib
+
+        from xs_vlm_ocr_spark.operators.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        cur = sorted(
+            r for r in self.neardup_pairs.all_time_runs()
+            if not r.startswith(self._REWRITE_PREFIXES)
+        )
+        prev_tbl = self.neardup_clusters_tbl.read(spark)
+        reflected: set[str] | None = None
+        if prev_tbl is not None:
+            row = prev_tbl.select("src_runs").limit(1).collect()
+            # a zero-row snapshot (no pair-involved docs yet) loses its
+            # stamp; treated as reflecting nothing — the redo is a CC
+            # over however few pairs exist, idempotent and cheap
+            reflected = set(row[0]["src_runs"].split(",")) if row else set()
+        pending = [r for r in cur
+                   if reflected is None or r not in reflected]
+        if reflected is not None and not pending:
+            return None  # in step
+        full = reflected is None or not all(
+            os.path.isdir(self.neardup_pairs.run_dir(r)) for r in pending
+        )
+        if full:
+            pairs = self.read_near_dup_pairs(spark)
+            if pairs is None:
+                pairs = spark.createDataFrame([], "a string, b string")
+            assignment = connected_components(pairs.select("a", "b"), "a", "b")
+        else:
+            inc = spark.read.parquet(
+                *[self.neardup_pairs.run_dir(r) for r in pending]
+            ).select("a", "b")
+            assignment = incremental_components(
+                prev_tbl.select("node", "component"), inc
+            )
+        stamp = ",".join(cur)
+        run_id = "clusters-" + hashlib.md5(stamp.encode()).hexdigest()[:12]
+        self.neardup_clusters_tbl.replace(
+            assignment.withColumn("src_runs", F.lit(stamp)), run_id
+        )
+        return run_id
+
     def near_dup_clusters(self, spark: SparkSession) -> DataFrame | None:
         """The dedup DECISION over the committed corpus: every committed
         successful doc (content_hash) assigned its near-dup cluster and
         an ``is_canonical`` flag — the one row per cluster a dedup pass
-        keeps (minimum hash; deterministic). Pairs -> transitive closure
-        via the distributed large-star/small-star connected components
-        (operators/components.py); docs in no pair are their own
-        singleton cluster.
+        keeps (minimum hash; deterministic). Docs in no pair are their
+        own singleton cluster.
 
-        Derived, not persisted: a pure function of the committed pairs
-        table, bit-reproducible after any crash/heal (the pairs table is
-        the crash-consistent artifact). Returns None when the job has
-        never committed results."""
-        from xs_vlm_ocr_spark.operators.components import assign_clusters
-
+        Served from the persisted, incrementally-maintained assignment
+        (sync_clusters brings it in step first): the docs side LEFT
+        JOINs one row per pair-involved node — the transitive closure
+        is never recomputed from the pair history on the read path.
+        Returns None when the job has never committed results."""
         results = self.read_results(spark)
         if results is None:
             return None
+        self.sync_clusters(spark)
         docs = (
             results.filter(F.col("success") & (F.length("full_text") > 0))
             .select(F.col("content_hash").alias("doc_id"))
             .distinct()  # replay runs re-emit committed hashes
         )
-        pairs = self.read_near_dup_pairs(spark)
-        if pairs is None:
-            pairs = spark.createDataFrame([], "a string, b string")
-        return assign_clusters(docs, pairs, id_col="doc_id")
+        assignment = self.neardup_clusters_tbl.read(spark)
+        if assignment is None:
+            comp = spark.createDataFrame([], "doc_id string, component string")
+        else:
+            comp = assignment.select(
+                F.col("node").alias("doc_id"), "component"
+            )
+        return (
+            docs.join(comp, "doc_id", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
+            )
+            .drop("component")
+            .withColumn(
+                "is_canonical",
+                (F.col("cluster_id") == F.col("doc_id")).cast("int"),
+            )
+        )
 
     def read_results(self, spark: SparkSession, ts_start=None,
                      ts_end=None) -> DataFrame | None:

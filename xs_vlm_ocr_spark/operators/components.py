@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "assign_clusters"]
+__all__ = [
+    "connected_components",
+    "assign_clusters",
+    "incremental_components",
+]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -139,6 +143,51 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     return member.union(roots)
+
+
+def incremental_components(
+    prev: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Update a (node, component) assignment under NEW pairs without
+    re-reading the historical pair set.
+
+    Star compression preserves connectivity — CC(stars(CC(E1)) ∪ E2) ==
+    CC(E1 ∪ E2) — so the convergence input is the previous assignment's
+    member→root edges (|V| rows, one per previously clustered node)
+    plus only the increment's pairs, never the full pair history. At
+    corpus scale that turns per-ingest cluster maintenance from
+    O(all pairs ever) into O(previously clustered nodes + new pairs).
+    Bit-equal to a full recompute over the union (pinned by test).
+
+    ``prev``: (node, component) rows; component roots (node ==
+    component) contribute no edge but stay in the output node set, so
+    feeding a previous output back in is closed under composition.
+    """
+    prev_edges = (
+        prev.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("u"), F.col("component").alias("v"))
+    )
+    new_edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    comp = connected_components(
+        prev_edges.unionByName(new_edges), "u", "v", max_iter
+    )
+    all_nodes = (
+        prev.select("node")
+        .union(pairs.select(F.col(a_col).alias("node")))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
 
 
 def assign_clusters(
