@@ -517,6 +517,46 @@ def _q_neardup_clusters(spark, sf_dir):
     )
 
 
+def _q_neardup_clusters_incremental(spark, sf_dir):
+    """The INCREMENTAL cluster-maintenance path, value-checked end to
+    end: the corpus is split into an 'old' ingest (doc_id % 5 != 0) and
+    a 'new' increment; the old batch's pairs are clustered first, then
+    incremental_components advances that assignment with ONLY the pairs
+    touching the increment (star compression — the old pair set is
+    never re-read). The oracle is the SAME transitive closure over the
+    full pair set as `neardup_clusters`: incremental == full recompute
+    is the correctness claim."""
+    from xs_vlm_ocr_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from xs_vlm_ocr_spark.operators.text_dedup import minhash_lsh_pairs_portable
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(docs, num_perm=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    is_new = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    old_pairs = pairs.filter(~is_new("a") & ~is_new("b"))
+    new_pairs = pairs.filter(is_new("a") | is_new("b"))
+    prev = connected_components(old_pairs, "a", "b")
+    comp = incremental_components(prev, new_pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        .drop("component")
+        .withColumn(
+            "is_canonical",
+            (F.col("cluster_id") == F.col("doc_id")).cast("int"),
+        )
+    )
+
+
 def _q_ngram_contamination(spark, sf_dir):
     """Train/test decontamination (GPT-3 appendix-C discipline): train
     docs (doc_id % 5 != 0) sharing any distinct word 3-gram with the
@@ -885,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": _q_fingerprint_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "neardup_clusters": _q_neardup_clusters,
+        "neardup_clusters_incremental": _q_neardup_clusters_incremental,
         "ngram_contamination": _q_ngram_contamination,
         "repetition_signals": _q_repetition_signals,
         "incremental_minhash_probe": _q_incremental_minhash,
@@ -910,7 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "history_filtered_count": """
             SELECT count(*) AS total FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -1559,3 +1600,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs QUALIFY knn_rank <= 10
         """,
     }
+    # the incremental maintenance path must produce the SAME
+    # assignment as the full closure — one oracle, two plans
+    oracles["neardup_clusters_incremental"] = oracles["neardup_clusters"]
+    return oracles

@@ -126,6 +126,11 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
         ("no corpus window", lambda p: "Window [" not in p),
     ],
+    "neardup_clusters_incremental": [
+        ("cluster assignment is an equi join", _equi_join),
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+        ("no corpus window", lambda p: "Window [" not in p),
+    ],
     "ngram_contamination": [
         # the tiny held-out gram set broadcasts; the train side (the
         # 100 TB one) never shuffles its grams
