@@ -574,8 +574,9 @@ def _q_ngram_contamination(spark, sf_dir):
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals per document (word-2-gram
     duplicate fraction + most-frequent-gram share; Rae et al. 2021
-    A1.1). One explode -> two hash aggregations, all JVM; the top-gram
-    argmin rides the same aggregation via min(struct(-count, gram))."""
+    A1.1). Per-doc computation with ZERO corpus shuffle: array counts +
+    a run-length fold over the per-doc sorted gram array, one
+    projection, all JVM."""
     from xs_vlm_ocr_spark.operators.text_analysis import repetition_signals
 
     docs = _doc_table(spark, sf_dir, "documents")

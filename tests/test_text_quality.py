@@ -50,12 +50,14 @@ def test_repetition_short_and_empty_docs(spark):
         assert got[d]["top_gram_frac"] == 0.0
 
 
-def test_repetition_no_window_in_plan(spark):
+def test_repetition_no_window_no_shuffle_in_plan(spark):
     df = repetition_signals(_docs(spark, ["a b c", "a a a"]), n=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    # the top-gram argmin rides the aggregation — never a corpus window
+    # per-doc computation: no corpus window AND no shuffle — the
+    # signals never leave the row they belong to
     assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def _contam(spark, train, test, **kw):

@@ -139,11 +139,13 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
     ],
     "repetition_signals": [
-        # top-gram argmin rides min(struct(-count, gram)) inside the
-        # aggregation — a per-doc window would serialize hot docs
-        ("no corpus window (argmin rides the aggregation)",
-         lambda p: "Window [" not in p),
-        ("map-side partial aggregation", _has("partial_count")),
+        # per-doc signals computed inside one projection (array ops +
+        # run-length fold over the per-doc sorted grams): no corpus
+        # shuffle at all — the explode->(doc,gram) aggregation shape
+        # would shuffle every token n times, twice
+        ("no corpus window", lambda p: "Window [" not in p),
+        ("zero shuffle (no hash-partitioning exchange)",
+         _absent("Exchange hashpartitioning")),
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
     ],
     "config_inheritance_join": [

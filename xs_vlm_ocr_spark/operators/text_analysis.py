@@ -124,46 +124,64 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     so deterministic), top_gram_frac (its share of all occurrences).
     Docs too short for any n-gram get zero counts and an empty top_gram.
 
-    Plan shape: explode -> two-level hash aggregation, all JVM. The
-    top-gram argmin rides the SAME aggregation as the counts via
-    min(struct(-count, gram)) — one shuffle on (doc, gram), one on doc,
-    both with map-side partial aggregation; no window over the corpus.
+    Plan shape: ZERO shuffles. The signals are per-document, so there
+    is no reason to explode the corpus into a (doc, gram) shuffle (at
+    10^12 docs that shuffle carries every token n times — twice): the
+    counts come from array functions and the mode from a single
+    run-length fold over the per-doc sorted gram array
+    (``F.aggregate``), entirely inside one projection. Higher-order
+    functions are interpreted (no codegen), but per-row compute beats a
+    corpus-wide shuffle by orders of magnitude at scale — and the sort
+    is per-doc, never global. Ties: the array is sorted ascending and
+    the fold replaces the best only on a STRICTLY longer run, so the
+    mode is the lexicographically smallest top gram — deterministic,
+    same semantics as the previous min(struct(-count, gram))
+    aggregation (the unchanged DuckDB oracle pins the equivalence).
     """
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+        lambda g: g != "",
     )
-    occurrences = (
-        fan_out_small_input(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
-        .filter(F.col("g") != "")
+    # alias once and reference the column: a non-cheap expression used
+    # by several consumers is NOT re-inlined per use (CollapseProject
+    # refuses), so the gram array materializes once per row
+    with_grams = fan_out_small_input(df).select(
+        F.col(id_col).alias("doc_id"), grams.alias("_grams")
     )
-    counts = occurrences.groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).alias("_n")
+    acc0 = F.struct(
+        F.lit("").alias("cur"), F.lit(0).cast("long").alias("cur_n"),
+        F.lit("").alias("best"), F.lit(0).cast("long").alias("best_n"),
     )
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum("_n").cast("long").alias("n_grams"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
-        F.min(F.struct((-F.col("_n")).alias("negn"), F.col("g"))).alias("_top"),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
-            F.coalesce(
-                (F.col("n_grams") - F.col("n_distinct_grams")) * 1.0
-                / F.col("n_grams"),
-                F.lit(0.0),
-            ).alias("dup_gram_frac"),
-            F.coalesce(F.col("_top.g"), F.lit("")).alias("top_gram"),
-            F.coalesce(
-                (-F.col("_top.negn")) * 1.0 / F.col("n_grams"), F.lit(0.0)
-            ).alias("top_gram_frac"),
+    def _step(acc, g):
+        cur_n = F.when(g == acc["cur"], acc["cur_n"] + 1).otherwise(F.lit(1))
+        longer = cur_n > acc["best_n"]
+        return F.struct(
+            g.alias("cur"), cur_n.alias("cur_n"),
+            F.when(longer, g).otherwise(acc["best"]).alias("best"),
+            F.when(longer, cur_n).otherwise(acc["best_n"]).alias("best_n"),
         )
+    # stage the fold under an alias: referenced twice below, and an
+    # aliased non-cheap expression used more than once is not re-inlined
+    staged = with_grams.select(
+        "doc_id",
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_grams")).cast("long").alias("n_distinct_grams"),
+        F.aggregate(F.array_sort(F.col("_grams")), acc0, _step).alias("_top"),
+    )
+    n_grams, n_distinct = F.col("n_grams"), F.col("n_distinct_grams")
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        F.when(n_grams > 0, (n_grams - n_distinct) * 1.0 / n_grams)
+        .otherwise(F.lit(0.0)).alias("dup_gram_frac"),
+        F.col("_top.best").alias("top_gram"),
+        F.when(n_grams > 0, F.col("_top.best_n") * 1.0 / n_grams)
+        .otherwise(F.lit(0.0)).alias("top_gram_frac"),
     )
