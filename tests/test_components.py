@@ -43,9 +43,16 @@ def _union_find(edges):
 
 def test_chain_collapses_to_min(spark):
     # worst case for naive label propagation: a long chain
+    import math
+
+    from xs_vlm_ocr_spark.operators import components as C
+
     edges = [(i, i + 1) for i in range(1, 64)]
     got = _cc(spark, edges)
     assert got == {i: 1 for i in range(1, 65)}
+    # O(log n) convergence, not O(diameter): a 64-node chain would take
+    # ~64 rounds of naive label propagation
+    assert C.LAST_ROUNDS <= 2 * math.ceil(math.log2(64)) + 2
 
 
 def test_two_components_and_duplicates(spark):

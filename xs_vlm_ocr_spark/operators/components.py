@@ -35,6 +35,10 @@ __all__ = [
     "incremental_components",
 ]
 
+# rounds taken by the most recent connected_components call — exposed
+# for tests and scale probes that pin the O(log n) convergence claim
+LAST_ROUNDS: int = 0
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (u, v) with u < v, no self-loops."""
@@ -122,12 +126,14 @@ def connected_components(
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
     )
+    global LAST_ROUNDS
     edges = edges.localCheckpoint(eager=True)
     prev = _checksum(edges)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _checksum(edges)
         if cur == prev:
+            LAST_ROUNDS = rounds
             break
         prev = cur
     else:
