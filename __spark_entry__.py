@@ -1236,9 +1236,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             occ AS (
+              -- docs with < n tokens yield NO gram (range is empty) —
+              -- mirrors the Spark side's size(toks) >= n gate
               SELECT doc_id, array_to_string(t[i.i : i.i+1], ' ') AS g
               FROM toks,
-                   LATERAL (SELECT unnest(range(1, greatest(len(t)-1, 1) + 1)) AS i) AS i
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-1, 0) + 1)) AS i) AS i
               WHERE array_to_string(t[i.i : i.i+1], ' ') <> ''
             ),
             counts AS (

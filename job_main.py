@@ -50,6 +50,10 @@ def main() -> None:
                          "into one snapshot (bounds small-file growth across "
                          "long-lived daily ingests)")
     args = ap.parse_args()
+    if args.emit_clusters and args.near_dup_threshold is None:
+        # reject BEFORE the (potentially hours-long) extraction runs —
+        # this is pure argparse state
+        ap.error("--emit-clusters requires --near-dup-threshold")
 
     from pyspark.sql import SparkSession
 
@@ -89,12 +93,14 @@ def main() -> None:
         summary["near_dup_pairs"] = pairs.count() if pairs is not None else 0
         if args.emit_clusters:
             clusters = job.near_dup_clusters(spark)
-            clusters.write.mode("overwrite").parquet(args.emit_clusters)
-            emitted = spark.read.parquet(args.emit_clusters)
-            summary["clusters"] = emitted.select("cluster_id").distinct().count()
-            summary["duplicate_docs"] = emitted.filter("is_canonical = 0").count()
-    elif args.emit_clusters:
-        ap.error("--emit-clusters requires --near-dup-threshold")
+            if clusters is None:  # zero committed results: nothing to decide
+                summary["clusters"] = 0
+                summary["duplicate_docs"] = 0
+            else:
+                clusters.write.mode("overwrite").parquet(args.emit_clusters)
+                emitted = spark.read.parquet(args.emit_clusters)
+                summary["clusters"] = emitted.select("cluster_id").distinct().count()
+                summary["duplicate_docs"] = emitted.filter("is_canonical = 0").count()
     print(json.dumps(summary))
 
 

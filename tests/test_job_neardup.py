@@ -305,3 +305,96 @@ def test_lost_increment_fails_loud(spark, tmp_path_factory):
     job.results.compact(spark)
     with pytest.raises(RuntimeError, match="compacted/expired away"):
         job.sync_near_dup_index(spark)
+
+
+def test_retention_rewrite_is_not_an_increment(spark, tmp_path_factory):
+    """apply_retention mints a 'retain-' rewrite snapshot of the results
+    table; the sync loop must not re-ingest the retained corpus as a
+    fresh increment (a stale prefix list once doubled the index)."""
+    from xs_vlm_ocr_spark.operators.history import apply_retention
+
+    out = str(tmp_path_factory.mktemp("job_nd_retain"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("a", NEAR_A), ("b", NEAR_B), ("c", OTHER_C)]))
+    h = _text_to_hash(job, spark)
+    n_idx = len(_index_rows(job, spark))
+    apply_retention(job.results, spark, n=10, ts_col="ts", id_col="id")
+    assert any(r.startswith("retain-") for r in job.results.committed_runs())
+
+    # next run ingests ONLY itself; the retained corpus is not re-indexed
+    job.run(spark, _docs(spark, [("d", NEAR_D)]))
+    h = _text_to_hash(job, spark)
+    assert len(_index_rows(job, spark)) == n_idx + 4  # one new doc x 4 bands
+    assert len(_index_rows(job, spark)) == 4 * len(h)
+
+
+def test_bootstrap_fresh_index_over_compacted_corpus(spark, tmp_path_factory):
+    """Enabling near-dup on a corpus whose results were already
+    compacted must BOOTSTRAP (one full-corpus increment), not brick:
+    same pair set as per-run ingestion, coverage marked atomically."""
+    out = str(tmp_path_factory.mktemp("job_nd_boot"))
+    # history accumulated WITHOUT near-dup, then compacted
+    plain = ExtractionJob(out)
+    plain.run(spark, _docs(spark, [("a", NEAR_A), ("c", OTHER_C)]))
+    plain.run(spark, _docs(spark, [("b", NEAR_B)]))
+    plain.results.compact(spark)
+
+    # near-dup enabled later: first run bootstraps the whole corpus
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("d", NEAR_D)]))
+    h = _text_to_hash(job, spark)
+    assert any(r.startswith("bootstrap-")
+               for r in job.neardup_index.all_time_runs())
+    # full pair set incl. the new doc (ingested by the bootstrap pass)
+    assert _pair_set(job, spark) == {
+        tuple(sorted((h[NEAR_A], h[NEAR_B]))),
+        tuple(sorted((h[NEAR_A], h[NEAR_D]))),
+        tuple(sorted((h[NEAR_B], h[NEAR_D]))),
+    }
+    assert len(_index_rows(job, spark)) == 4 * len(h)
+    # subsequent runs are plain increments — no re-bootstrap, no dupes
+    job.run(spark, _docs(spark, [("e", " ".join(f"z{i}" for i in range(60)))]))
+    h = _text_to_hash(job, spark)
+    assert len(_index_rows(job, spark)) == 4 * len(h)
+    assert job.sync_near_dup_index(spark) == []
+
+
+def test_canonical_is_min_surviving_member(spark, tmp_path_factory):
+    """After retention retires a cluster's minimum member, the decision
+    surface promotes the smallest SURVIVING member to canonical — a
+    keep-canonical dedup pass must never drop a whole cluster."""
+    out = str(tmp_path_factory.mktemp("job_nd_surv"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("a", NEAR_A), ("c", OTHER_C)]))
+    job.run(spark, _docs(spark, [("b", NEAR_B)]))
+    h = _text_to_hash(job, spark)
+    lo, hi = sorted((h[NEAR_A], h[NEAR_B]))
+
+    # drop run 1 (doc a and c) from the results; pairs/index keep history
+    run1 = job.results.committed_runs()[0]
+    import shutil
+    m = job.results._load_manifest()
+    m["runs"] = [r for r in m["runs"] if r != run1]
+    import json as _json
+    with open(job.results.manifest_path, "w") as f:
+        _json.dump(m, f)
+    shutil.rmtree(job.results.run_dir(run1), ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {job.results.table_name}")
+
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in job.near_dup_clusters(spark).collect()}
+    surviving = set(rows)
+    assert surviving <= {h[NEAR_A], h[NEAR_B], h[OTHER_C]}
+    # whichever of the pair survives must be canonical even if the
+    # cluster id (the retired minimum) is not present
+    present_pair = [d for d in (lo, hi) if d in surviving]
+    for d in present_pair:
+        cl, canon = rows[d]
+        assert canon == (1 if d == min(present_pair) else 0)
+    assert all(c == 1 for d, (_, c) in rows.items()
+               if d not in (lo, hi))  # singletons canonical
+    # every cluster with members has exactly one canonical row
+    by_cluster = {}
+    for d, (cl, c) in rows.items():
+        by_cluster.setdefault(cl, []).append(c)
+    assert all(sum(cs) == 1 for cs in by_cluster.values())

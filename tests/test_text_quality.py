@@ -41,9 +41,9 @@ def test_repetition_top_gram_tie_is_lexicographic(spark):
 
 def test_repetition_short_and_empty_docs(spark):
     got = _rep(spark, ["hello", "", "  "])
-    # a 1-token doc yields one truncated "gram" (mirrors the oracle slice)
-    assert got[1]["n_grams"] == 1 and got[1]["top_gram"] == "hello"
-    for d in (2, 3):  # no grams at all -> zero row, empty top_gram
+    # docs with < n tokens have NO gram — a truncated partial gram
+    # would flag every one-word doc as maximally repetitious
+    for d in (1, 2, 3):
         assert got[d]["n_grams"] == 0
         assert got[d]["dup_gram_frac"] == 0.0
         assert got[d]["top_gram"] == ""

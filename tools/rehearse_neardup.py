@@ -147,8 +147,10 @@ def main() -> None:
         **summary, "loadavg": round(os.getloadavg()[0], 1)}
 
     job = ExtractionJob(out, near_dup_threshold=float(THRESHOLD))
+    from xs_vlm_ocr_spark.table_io import REWRITE_PREFIXES
+
     healed = [r for r in job.results.all_time_runs()
-              if not r.startswith(("compact-", "expire-", "migrate-"))
+              if not r.startswith(REWRITE_PREFIXES)
               and r not in job.neardup_index.all_time_runs()]
     assert healed == [], healed  # crash healed, nothing pending
     assert all(len(t.committed_runs()) == 1 for t in

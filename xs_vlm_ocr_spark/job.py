@@ -32,7 +32,7 @@ from xs_vlm_ocr_spark.operators.extraction import (
 )
 from xs_vlm_ocr_spark.operators.skew import repartition_by_doc_length
 from xs_vlm_ocr_spark.schemas import LINEAGE_SCHEMA
-from xs_vlm_ocr_spark.table_io import CheckpointedTable
+from xs_vlm_ocr_spark.table_io import REWRITE_PREFIXES, CheckpointedTable
 
 
 def stamp_results(results: DataFrame, run_id: str, committed_at: datetime,
@@ -385,13 +385,54 @@ class ExtractionJob:
         num_perm, bands, gram_n = self.minhash_params
         ingested = self.neardup_index.all_time_runs()
         committed = self.results.committed_runs()
-        # Rewrite snapshots (compaction / time retention / layout
-        # migration) are NOT increments: every row they hold came from
-        # runs sync already ingested — run() always syncs before
-        # maybe_compact — so ingesting one would duplicate the whole
-        # corpus in the index. They are skipped; the guard below keeps
-        # that skip honest.
-        rewrite = ("compact-", "expire-", "migrate-")
+        # Rewrite snapshots (compaction / retention / migration — the
+        # canonical prefix list lives in table_io.REWRITE_PREFIXES next
+        # to where the ids are minted) are NOT increments: every row
+        # they hold came from runs sync already ingested — run() always
+        # syncs before maybe_compact — so ingesting one would duplicate
+        # the whole corpus in the index. They are skipped; the guards
+        # below keep that skip honest.
+        rewrite = REWRITE_PREFIXES
+        # BOOTSTRAP: a fresh index (nothing ever ingested) over a corpus
+        # that already has rewrite history — near-dup enabled on a
+        # long-lived deployment whose results were compacted/retained
+        # before the feature was turned on. Per-increment ingestion is
+        # impossible (the original run dirs are absorbed), but with an
+        # EMPTY index the whole current committed corpus IS one valid
+        # increment: index it in one pass and, in the SAME atomic
+        # manifest commit, mark every historical results run as covered
+        # (no crash window between data and coverage). The pair SET
+        # equals what per-run ingestion would have produced; attribution
+        # is a single bootstrap run.
+        if not ingested and any(r.startswith(rewrite)
+                                for r in self.results.all_time_runs()):
+            results = self.read_results(spark)
+            corpus = (
+                results.filter(F.col("success") & (F.length("full_text") > 0))
+                .select(F.col("content_hash").alias("doc_id"), "full_text")
+                if results is not None
+                else spark.createDataFrame([], "doc_id string, full_text string")
+            )
+            fresh = minhash_band_index(
+                corpus, "full_text", "doc_id", num_perm, bands, gram_n,
+                persist=True,
+            )
+            pairs = (
+                minhash_pairs_from_index(fresh, num_perm, bands, gram_n)
+                .filter(F.col("est_jaccard") >= self.near_dup_threshold)
+            )
+            import hashlib
+            boot = "bootstrap-" + hashlib.md5(
+                ",".join(sorted(self.results.all_time_runs())).encode()
+            ).hexdigest()[:12]
+            covered = sorted(self.results.all_time_runs())
+            if boot not in self.neardup_pairs.all_time_runs():
+                self.neardup_pairs.append(
+                    pairs.withColumn("run_id", F.lit(boot)), boot
+                )
+            self.neardup_index.append(fresh, boot, also_mark=covered)
+            fresh.unpersist()
+            return [boot]
         # LOUD guard against the one discipline violation that makes
         # per-increment healing impossible: an original run that was
         # never ingested but has already been absorbed by a rewrite (its
@@ -408,8 +449,9 @@ class ExtractionJob:
                 f"increments {sorted(lost)} whose results runs were already "
                 "compacted/expired away — per-increment healing is "
                 "impossible. Rebuild the index: delete the neardup_index "
-                "and neardup_pairs dirs and re-run (the md5 hash family "
-                "makes rebuild == the uncrashed append sequence bit-exactly)."
+                "and neardup_pairs dirs and re-run — the empty index then "
+                "takes the BOOTSTRAP path (one full-corpus increment; same "
+                "pair set, single-run attribution)."
             )
         pending = [r for r in committed
                    if r not in ingested and not r.startswith(rewrite)]
@@ -458,7 +500,7 @@ class ExtractionJob:
     def read_near_dup_pairs(self, spark: SparkSession) -> DataFrame | None:
         return self.neardup_pairs.read(spark)
 
-    _REWRITE_PREFIXES = ("compact-", "expire-", "migrate-")
+    _REWRITE_PREFIXES = REWRITE_PREFIXES  # canonical list: table_io
 
     def sync_clusters(self, spark: SparkSession) -> str | None:
         """Bring the persisted cluster assignment in step with the
@@ -532,8 +574,9 @@ class ExtractionJob:
         """The dedup DECISION over the committed corpus: every committed
         successful doc (content_hash) assigned its near-dup cluster and
         an ``is_canonical`` flag — the one row per cluster a dedup pass
-        keeps (minimum hash; deterministic). Docs in no pair are their
-        own singleton cluster.
+        keeps (minimum SURVIVING hash; deterministic, and never absent
+        even when retention/expiry retired the component minimum). Docs
+        in no pair are their own singleton cluster.
 
         Served from the persisted, incrementally-maintained assignment
         (sync_clusters brings it in step first): the docs side LEFT
@@ -556,17 +599,19 @@ class ExtractionJob:
             comp = assignment.select(
                 F.col("node").alias("doc_id"), "component"
             )
-        return (
+        from xs_vlm_ocr_spark.operators.components import finalize_canonical
+
+        joined = (
             docs.join(comp, "doc_id", "left")
             .withColumn(
                 "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
             )
             .drop("component")
-            .withColumn(
-                "is_canonical",
-                (F.col("cluster_id") == F.col("doc_id")).cast("int"),
-            )
         )
+        # min PRESENT member wins: retention/expiry may have retired the
+        # component minimum, and a winner-less cluster would make a
+        # keep-canonical dedup pass drop every surviving member
+        return finalize_canonical(joined, "doc_id")
 
     def read_results(self, spark: SparkSession, ts_start=None,
                      ts_end=None) -> DataFrame | None:

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "connected_components",
     "assign_clusters",
+    "finalize_canonical",
     "incremental_components",
 ]
 
@@ -120,14 +121,19 @@ def connected_components(
     O(log n) rounds, so 50 covers any physically storable graph. A
     non-converged exit raises rather than returning partial clusters.
     """
-    edges = _canon(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
+    global LAST_ROUNDS
+    # checkpoint BEFORE deriving nodes: nodes is evaluated again by the
+    # final roots anti-join, and off the pre-checkpoint lineage that
+    # evaluation would re-scan the full input pair set (plus _canon's
+    # distinct exchange) just to enumerate ids
+    edges = _canon(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
     )
-    global LAST_ROUNDS
-    edges = edges.localCheckpoint(eager=True)
     prev = _checksum(edges)
     for rounds in range(1, max_iter + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -196,6 +202,23 @@ def incremental_components(
     )
 
 
+def finalize_canonical(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Given rows with a ``cluster_id``, mark ``is_canonical`` as the
+    minimum PRESENT member of each cluster. The cluster id itself is
+    the minimum member of the pair graph's component, but that doc may
+    be absent from ``df`` (retired by retention/expiry, or the caller
+    clusters a subset) — a dedup pass keeping only canonical rows must
+    never be left with a winner-less cluster."""
+    winners = df.groupBy("cluster_id").agg(F.min(id_col).alias("_w"))
+    return (
+        df.join(winners, "cluster_id")
+        .withColumn(
+            "is_canonical", (F.col(id_col) == F.col("_w")).cast("int")
+        )
+        .drop("_w")
+    )
+
+
 def assign_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -206,7 +229,9 @@ def assign_clusters(
 ) -> DataFrame:
     """Every doc mapped to its dedup cluster: docs in no pair are their
     own singleton cluster; ``is_canonical`` marks the one row per
-    cluster that a dedup pass keeps (min id — deterministic).
+    cluster that a dedup pass keeps (min PRESENT member id —
+    deterministic, and still well-defined when the component minimum is
+    not in ``docs``).
 
     Output: docs' columns + (cluster_id, is_canonical int).
     """
@@ -214,8 +239,5 @@ def assign_clusters(
     comp = comp.withColumnRenamed("node", id_col)
     out = docs.join(comp, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
-    )
-    return out.drop("component").withColumn(
-        "is_canonical",
-        (F.col("cluster_id") == F.col(id_col)).cast("int"),
-    )
+    ).drop("component")
+    return finalize_canonical(out, id_col)

@@ -141,13 +141,22 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
-    grams = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    # docs with fewer than n tokens have NO n-gram (empty array) — a
+    # truncated partial gram would score every one-word doc as
+    # maximally repetitious (top_gram_frac 1.0). This intentionally
+    # DIFFERS from the dedup shinglers (with_word_shingles /
+    # with_word_gram_strings keep the partial gram so two identical
+    # short docs still pair up).
+    grams = F.when(
+        F.size(toks) >= n,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+            lambda g: g != "",
         ),
-        lambda g: g != "",
-    )
+    ).otherwise(F.array().cast("array<string>"))
     # alias once and reference the column: a non-cheap expression used
     # by several consumers is NOT re-inlined per use (CollapseProject
     # refuses), so the gram array materializes once per row

@@ -178,7 +178,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 def with_word_gram_strings(df: DataFrame, text_col: str = "text", n: int = 3,
                            id_col: str = "doc_id") -> DataFrame:
     """Like with_word_shingles but keeps the gram STRING (doc_id, g) —
-    for operators whose hashing must be oracle-portable (md5)."""
+    for operators whose hashing must be oracle-portable (md5).
+
+    Docs with fewer than n tokens yield ONE truncated partial gram —
+    intentional for dedup/contamination: two identical short docs (or a
+    short doc verbatim inside the test set) still share a key. The
+    repetition QUALITY signal (text_analysis.repetition_signals)
+    deliberately differs: there a partial gram would mark every short
+    doc maximally repetitious, so short docs yield no gram."""
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
     from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
 

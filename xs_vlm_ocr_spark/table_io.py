@@ -70,6 +70,16 @@ def _to_us(v) -> int:
     return int(v)
 
 
+# Run-id prefixes minted by REWRITE operations (compact / expire /
+# migrate / retention): snapshots whose rows all came from runs already
+# committed. Every consumer that iterates "increments" (the near-dup
+# sync loop, cluster maintenance, rehearsal tooling) must skip these —
+# keep the list HERE, next to where rewrite ids are minted, so adding a
+# rewrite kind cannot silently desynchronize a copy elsewhere (a stale
+# copy once ingested a whole retained corpus as a fresh increment).
+REWRITE_PREFIXES = ("compact-", "expire-", "migrate-", "retain-")
+
+
 class CheckpointedTable:
     """``bucket_key`` opts a table into BUCKETED layout: every run is
     written ``bucketBy(n_buckets, key).sortBy(key)`` through the session
@@ -208,10 +218,12 @@ class CheckpointedTable:
         m = self._load_manifest() or {}
         return set(m.get("runs", [])) | set(m.get("ancestry", []))
 
-    def _commit(self, run_id: str, run_stat: dict | None = None) -> None:
+    def _commit(self, run_id: str, run_stat: dict | None = None,
+                also_mark: list[str] | tuple[str, ...] = ()) -> None:
         runs = self.committed_runs()
-        if run_id not in runs:
-            runs.append(run_id)
+        for r in (run_id, *also_mark):
+            if r not in runs:
+                runs.append(r)
         stats = self.run_stats()
         if run_stat is not None:
             stats[run_id] = run_stat
@@ -288,14 +300,23 @@ class CheckpointedTable:
         if os.path.exists(self.data_dir):
             spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
 
-    def append(self, df: DataFrame, run_id: str, stats_bounds=None) -> None:
+    def append(self, df: DataFrame, run_id: str, stats_bounds=None,
+               also_mark: list[str] | tuple[str, ...] = ()) -> None:
         """Write then commit. Crash before the manifest rewrite leaves the
         table unchanged (the partial run dir is garbage, never read).
 
         ``stats_bounds``: known (min, max) of ``stats_col`` for this run
         — skips the post-write stats scan (the engine's results table
         stamps ONE commit timestamp per run, so bounds are exact and
-        free)."""
+        free).
+
+        ``also_mark``: extra run ids committed in the SAME atomic
+        manifest write, with no data of their own (reads tolerate
+        dir-less committed runs — the zero-row-run shape). Used by
+        bootstrap-style ingestion where one data run covers content the
+        bookkeeping tracks under other ids: marking in the same commit
+        leaves no crash window in which the data is committed but its
+        coverage is not."""
         self.check_layout()
         if self.bucket_key is None:
             df.write.mode("overwrite").parquet(self.run_dir(run_id))
@@ -320,7 +341,7 @@ class CheckpointedTable:
                 )
             self._bucketed_write(df, run_id)
         stat = self._compute_run_stat(df.sparkSession, run_id, stats_bounds)
-        self._commit(run_id, stat)
+        self._commit(run_id, stat, also_mark=also_mark)
 
     def _catalog_schema_mismatch(self, spark: SparkSession,
                                  schema: T.StructType) -> str | None:
