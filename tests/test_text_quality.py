@@ -94,6 +94,72 @@ def test_contamination_shuffle_path_matches_broadcast_path(spark):
     assert a == b and a  # identical and non-empty
 
 
+def _py_toks(text):
+    # exact mirror of the JVM split(lower(trim(x)), WS_RE): trim strips
+    # 0x20 only, split keeps edge empty tokens
+    import re
+
+    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
+
+    return re.split(WS_RE, text.strip(" ").lower())
+
+
+def _py_grams(text, n, partial):
+    toks = _py_toks(text)
+    if len(toks) < n:
+        idx = [0] if partial else []
+    else:
+        idx = range(len(toks) - n + 1)
+    return [g for g in (" ".join(toks[i:i + n]) for i in idx) if g != ""]
+
+
+def test_repetition_matches_python_mirror_on_random_docs(spark):
+    """Batch equivalence against a pure-Python mirror over seeded random
+    texts (spaces/tabs/short words — exercises empty tokens, ties,
+    sub-n docs)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    alphabet = "ab x\tyz  "
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+             for _ in range(200)]
+    got = _rep(spark, texts, n=2)
+    for i, t in enumerate(texts, start=1):
+        grams = _py_grams(t, 2, partial=False)
+        c = Counter(grams)
+        n_g, n_d = len(grams), len(c)
+        if grams:
+            top_n = max(c.values())
+            top = min(g for g, k in c.items() if k == top_n)
+            exp = (n_g, n_d, (n_g - n_d) * 1.0 / n_g, top, top_n * 1.0 / n_g)
+        else:
+            exp = (0, 0, 0.0, "", 0.0)
+        r = got[i]
+        assert (r["n_grams"], r["n_distinct_grams"], r["dup_gram_frac"],
+                r["top_gram"], r["top_gram_frac"]) == exp, (i, repr(t))
+
+
+def test_contamination_matches_python_mirror_on_random_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abc de fg  "
+    train = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+             for _ in range(80)]
+    test = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+            for _ in range(20)]
+    got = _contam(spark, train, test, n=2, min_hits=1)
+    te = set().union(*(set(_py_grams(t, 2, partial=True)) for t in test)) \
+        if test else set()
+    exp = {}
+    for i, t in enumerate(train, start=1):
+        hits = len(set(_py_grams(t, 2, partial=True)) & te)
+        if hits >= 1:
+            exp[i] = hits
+    assert got == exp
+
+
 def test_contamination_broadcasts_test_side(spark):
     df = ngram_contamination(
         _docs(spark, ["a b c d", "e f g h"]),
