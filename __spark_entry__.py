@@ -571,6 +571,19 @@ def _q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(train, test, n=3, min_hits=1)
 
 
+def _q_contamination_spans(spark, sf_dir):
+    """Span-level decontamination (the GPT-3 appendix-C surgery: remove
+    the contaminated WINDOW, not the whole doc): merged token spans of
+    every train region sharing a word 3-gram with the held-out set.
+    Oracle: gaps-and-islands over the hit positions."""
+    from xs_vlm_ocr_spark.operators.text_dedup import contamination_spans
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_spans(train, test, n=3)
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals per document (word-2-gram
     duplicate fraction + most-frequent-gram share; Rae et al. 2021
@@ -928,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_neardup_clusters,
         "neardup_clusters_incremental": _q_neardup_clusters_incremental,
         "ngram_contamination": _q_ngram_contamination,
+        "contamination_spans": _q_contamination_spans,
         "repetition_signals": _q_repetition_signals,
         "incremental_minhash_probe": _q_incremental_minhash,
         "minhash_index_maintenance": _q_minhash_index_maintenance,
@@ -1229,6 +1243,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 5 <> 0
             GROUP BY doc_id
             HAVING count(*) >= 1
+        """,
+        "contamination_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{WS_RE}') AS t
+              FROM documents
+            ),
+            tr AS (
+              SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+                     array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE doc_id % 5 <> 0
+                AND array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            te AS (
+              SELECT DISTINCT array_to_string(t[i.i : i.i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i) AS i
+              WHERE doc_id % 5 = 0
+                AND array_to_string(t[i.i : i.i+2], ' ') <> ''
+            ),
+            hits AS (SELECT tr.doc_id, tr.pos FROM tr JOIN te USING (g)),
+            flags AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 3) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ), -1) THEN 1 ELSE 0 END AS ni
+              FROM hits
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS k
+              FROM flags
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+                   CAST(max(pos) + 3 AS BIGINT) AS end_tok
+            FROM isl GROUP BY doc_id, k
         """,
         "repetition_signals": f"""
             WITH toks AS (

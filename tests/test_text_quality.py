@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xs_vlm_ocr_spark.operators.text_analysis import repetition_signals
-from xs_vlm_ocr_spark.operators.text_dedup import ngram_contamination
+from xs_vlm_ocr_spark.operators.text_dedup import (
+    contamination_spans,
+    ngram_contamination,
+)
 
 
 def _docs(spark, texts):
@@ -158,6 +161,35 @@ def test_contamination_matches_python_mirror_on_random_docs(spark):
         if hits >= 1:
             exp[i] = hits
     assert got == exp
+
+
+def test_contamination_spans_merge_and_partial(spark):
+    """Overlapping/adjacent tainted windows merge; disjoint ones don't;
+    a sub-n train doc's partial-gram hit spans [0, n)."""
+    train = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "zz yy xx"),
+         (5, "aa")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "w1 w2 w3"), (101, "w3 w4 w5"), (102, "w7 w8 w9"),
+         (103, "aa")],
+        "doc_id long, text string",
+    )
+    out = sorted(tuple(r) for r in contamination_spans(train, test, n=3).collect())
+    # hits at pos 1 and 3 merge ([1,4) U [3,6) = [1,6)); pos 7 stays
+    # separate; doc 5's partial-gram hit covers [0, 3)
+    assert out == [(1, 1, 6), (1, 7, 10), (5, 0, 3)]
+
+
+def test_contamination_spans_plan(spark):
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    test = spark.createDataFrame([(9, "b c")], "doc_id long, text string")
+    df = contamination_spans(train, test, n=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan  # test grams broadcast
+    assert "Window" not in plan  # interval merge is a per-doc fold
 
 
 def test_contamination_broadcasts_test_side(spark):

@@ -138,6 +138,13 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("map-side partial aggregation", _has("partial_count")),
         ("no python UDF anywhere in the plan", _absent("PythonUDF")),
     ],
+    "contamination_spans": [
+        ("test gram set broadcast", _has("BroadcastHashJoin")),
+        # interval merge is a per-doc fold over sorted hit positions —
+        # never a window over the corpus
+        ("no corpus window", lambda p: "Window [" not in p),
+        ("no python UDF anywhere in the plan", _absent("PythonUDF")),
+    ],
     "repetition_signals": [
         # per-doc signals computed inside one projection (array ops +
         # run-length fold over the per-doc sorted grams): no corpus

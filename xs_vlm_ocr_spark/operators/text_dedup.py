@@ -939,3 +939,87 @@ def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 3,
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .filter(F.col("n_contaminated") >= min_hits)
     )
+
+
+def contamination_spans(train: DataFrame, test: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        broadcast_test: bool = True) -> DataFrame:
+    """WHERE the contamination is: merged token spans of every train-doc
+    region sharing a word n-gram with the held-out set — the
+    span-surgery variant of :func:`ngram_contamination` (GPT-3's
+    appendix-C discipline removes the contaminated WINDOW plus margin,
+    not the whole document; Brown et al. 2020).
+
+    Output: (doc_id, start_tok, end_tok) — 0-based token index, end
+    exclusive; a hit at position p taints [p, p+n), overlapping or
+    adjacent taints merge. Sub-n-token docs carry one partial gram (the
+    dedup-shingler convention), so a hit there spans [0, n) — clip to
+    the doc's token count consumer-side if needed.
+
+    100 TB shape: distinct test grams broadcast (train grams never
+    shuffle); hit positions — a tiny fraction of the corpus — take ONE
+    groupBy(doc) shuffle; the interval merge is a per-doc fold over the
+    sorted hit array, never a window over the corpus.
+    """
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    gp = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice(toks, i + 1, n), " ").alias("g"),
+        ),
+    )
+    tr = (
+        fan_out_small_input(train)
+        .select(F.col(id_col).alias("doc_id"), F.explode(gp).alias("x"))
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+        .filter(F.col("g") != "")
+    )
+    te = (
+        with_word_gram_strings(test, text_col=text_col, n=n, id_col=id_col)
+        .select("g").distinct()
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    hits = tr.join(te, "g").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    span_t = "array<struct<start_tok:bigint,end_tok:bigint>>"
+    acc0 = F.struct(
+        F.expr("array()").cast(span_t).alias("done"),
+        F.lit(-1).cast("long").alias("cs"),
+        F.lit(-1).cast("long").alias("ce"),
+    )
+
+    def _step(acc, p):
+        new_span = p > acc["ce"]  # ce exclusive: merge overlap/adjacency
+        return F.struct(
+            F.when(
+                new_span & (acc["cs"] >= 0),
+                F.concat(acc["done"], F.array(F.struct(
+                    acc["cs"].alias("start_tok"), acc["ce"].alias("end_tok")
+                ))),
+            ).otherwise(acc["done"]).alias("done"),
+            F.when(new_span, p).otherwise(acc["cs"]).alias("cs"),
+            F.greatest(acc["ce"], p + n).alias("ce"),
+        )
+
+    def _finish(acc):
+        return F.when(
+            acc["cs"] >= 0,
+            F.concat(acc["done"], F.array(F.struct(
+                acc["cs"].alias("start_tok"), acc["ce"].alias("end_tok")
+            ))),
+        ).otherwise(acc["done"])
+
+    return (
+        hits.select(
+            "doc_id",
+            F.explode(F.aggregate(F.col("_ps"), acc0, _step, _finish)).alias("s"),
+        )
+        .select("doc_id", F.col("s.start_tok").alias("start_tok"),
+                F.col("s.end_tok").alias("end_tok"))
+    )
