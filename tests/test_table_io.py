@@ -347,6 +347,24 @@ def test_maybe_compact_bounds_run_count(spark, tmp_path_factory):
     assert len(s) == len(tbl.committed_runs()) and s
 
 
+def test_compact_folds_zero_row_runs(spark, tmp_path_factory):
+    """A zero-row run commits a manifest entry with no data dir; compact
+    must still fold the run LIST to one snapshot (gating on physical
+    dirs once made the policy a silent no-op after any resume run that
+    contributed nothing — and downstream, kept the results table from
+    ever reaching the bootstrap precondition in rehearsal)."""
+    path = str(tmp_path_factory.mktemp("tbl_zero") / "t")
+    tbl = CheckpointedTable(path)
+    tbl.append(spark.range(5).selectExpr("id", "'x' AS v"), "r1")
+    tbl._commit("r2-zero")  # zero-row run: manifest only, no dir
+    assert len(tbl.committed_runs()) == 2
+    rid = tbl.maybe_compact(spark, max_runs=1)
+    assert rid is not None and rid.startswith("compact-")
+    assert tbl.committed_runs() == [rid]
+    assert {"r1", "r2-zero"} <= tbl.all_time_runs()
+    assert tbl.read(spark).count() == 5
+
+
 def test_compact_crash_before_manifest_flip_changes_nothing(spark, tmp_path_factory):
     """Crash mid-compaction (after the rewrite, before the manifest
     rename): every pre-policy snapshot stays committed and readable."""

@@ -484,7 +484,12 @@ class CheckpointedTable:
 
         runs = self.committed_runs()
         dirs = [d for d in (self.run_dir(r) for r in runs) if os.path.exists(d)]
-        if not dirs or (len(dirs) <= 1 and target_schema is None):
+        # gate on committed RUNS, not physical dirs: a zero-row run
+        # commits a manifest entry with no dir, and folding it into the
+        # snapshot (absorbed into ancestry) is exactly what bounds
+        # manifest growth — gating on dirs once made compact a silent
+        # no-op whenever a resume run contributed zero rows
+        if not dirs or (len(runs) <= 1 and target_schema is None):
             return None
         src = spark.read.option("mergeSchema", "true").parquet(*dirs)
         if target_schema is not None:
