@@ -429,3 +429,41 @@ def test_expire_before_rewrites_straddling_run(spark, tmp_path_factory):
     cutoff_us = (datetime(2026, 1, 1, 12, 5) - datetime(1970, 1, 1)) // timedelta(
         microseconds=1)
     assert tbl.run_stats()[runs[0]]["min_us"] == cutoff_us
+
+
+def test_expire_before_integer_stats_col_straddle(spark, tmp_path_factory):
+    """Generic integer stats column (epoch MICROseconds by the manifest
+    convention): the straddle rewrite must compare the raw integers
+    against the cutoff — a bigint->timestamp cast reads SECONDS and
+    would silently keep every below-cutoff row in the boundary run
+    (round-6 advice)."""
+    from datetime import timedelta
+
+    path = str(tmp_path_factory.mktemp("tbl_int_stats") / "t")
+    tbl = CheckpointedTable(path, stats_col="ts_us")
+    base = (datetime(2026, 1, 1, 12, 0) - datetime(1970, 1, 1)) // timedelta(
+        microseconds=1)
+    rows = spark.range(10).select(
+        F.col("id").alias("payload"),
+        (F.lit(base) + F.col("id") * 60_000_000).alias("ts_us"),  # 1/min
+    )
+    tbl.append(rows, "mixed")
+    cutoff = datetime(2026, 1, 1, 12, 5)
+    assert tbl.expire_before(spark, cutoff) == ["mixed"]
+    out = tbl.read(spark).collect()
+    cut_us = (cutoff - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+    assert len(out) == 5 and all(r["ts_us"] >= cut_us for r in out)
+
+
+def test_expire_before_unsupported_stats_type_raises(spark, tmp_path_factory):
+    """A straddling run with a non-temporal, non-integer stats column
+    must refuse loudly instead of mis-retaining rows."""
+    path = str(tmp_path_factory.mktemp("tbl_bad_stats") / "t")
+    tbl = CheckpointedTable(path, stats_col="score")
+    rows = spark.range(10).select(
+        F.col("id").alias("payload"),
+        (F.col("id") * 1.5).alias("score"),  # double: no faithful compare
+    )
+    tbl.append(rows, "mixed")
+    with pytest.raises(TypeError, match="unsupported type"):
+        tbl.expire_before(spark, 7)  # cutoff inside [0, 13.5]

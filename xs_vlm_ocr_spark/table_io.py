@@ -238,6 +238,10 @@ class CheckpointedTable:
         else:
             from pyspark.sql import functions as F
 
+            # a zero-row run on a bucketed table commits a manifest
+            # entry with NO run dir — nothing to scan, no pruning info
+            if not os.path.isdir(self.run_dir(run_id)):
+                return None
             row = spark.read.parquet(self.run_dir(run_id)).agg(
                 F.min(self.stats_col), F.max(self.stats_col)
             ).first()
@@ -559,10 +563,31 @@ class CheckpointedTable:
             col = stats[straddle[0]]["col"]
             src = spark.read.option("mergeSchema", "true").parquet(
                 *[self.run_dir(r) for r in straddle]
-            ).filter(
-                F.col(col).cast("timestamp")
-                >= F.lit(_EPOCH + timedelta(microseconds=cut_us))
             )
+            # the row filter must agree with _to_us's manifest encoding:
+            # integer stats columns are epoch MICROseconds by convention
+            # (compare directly — a bigint->timestamp cast would read
+            # them as SECONDS and silently keep every below-cutoff row
+            # in the boundary run); temporal/string columns go through
+            # the timestamp cast. Anything else can't be compared
+            # faithfully — refuse rather than mis-retain.
+            dt = src.schema[col].dataType
+            if isinstance(dt, (T.ByteType, T.ShortType,
+                               T.IntegerType, T.LongType)):
+                src = src.filter(F.col(col) >= F.lit(cut_us))
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                                 T.DateType, T.StringType)):
+                src = src.filter(
+                    F.col(col).cast("timestamp")
+                    >= F.lit(_EPOCH + timedelta(microseconds=cut_us))
+                )
+            else:
+                raise TypeError(
+                    f"expire_before straddle rewrite on {self.path}: "
+                    f"stats column {col!r} has unsupported type "
+                    f"{dt.simpleString()} (supported: integer epoch-us, "
+                    "timestamp, date, ISO string)"
+                )
             boundary = f"expire-{uuid.uuid4().hex[:8]}"
             if self.bucket_key is None:
                 src.write.mode("overwrite").parquet(self.run_dir(boundary))
