@@ -266,15 +266,18 @@ def test_sync_clusters_incremental_path(spark, tmp_path_factory):
     assert job.sync_clusters(spark) is not None  # first snapshot
     assert job.sync_clusters(spark) is None      # in step now
     assert assignment() == full_cc()
-    stamp1 = job.neardup_clusters_tbl.read(spark).select("src_runs").first()[0]
+    stamp1 = job.neardup_clusters_tbl.get_meta()["src_runs"]
 
     # second ingest: the sync must read ONLY the new pairs run (the
     # incremental path), and the result must equal the full recompute
     job.run(spark, _docs(spark, [("d", NEAR_D)]))
     assert job.sync_clusters(spark) is not None
     assert assignment() == full_cc()
-    stamp2 = job.neardup_clusters_tbl.read(spark).select("src_runs").first()[0]
-    assert set(stamp2.split(",")) > set(stamp1.split(","))
+    stamp2 = job.neardup_clusters_tbl.get_meta()["src_runs"]
+    assert set(stamp2) > set(stamp1)
+    # the assignment rows carry NO bookkeeping column — the reflected
+    # set is manifest meta, not a per-row stamp
+    assert "src_runs" not in job.neardup_clusters_tbl.read(spark).columns
 
     # compact the pairs table (absorbs the per-run dirs), then ingest
     # again: pending run dirs readable -> still incremental; but a
@@ -283,16 +286,54 @@ def test_sync_clusters_incremental_path(spark, tmp_path_factory):
     # table to its first snapshot's reflected set
     job.neardup_pairs.compact(spark)
     job.run(spark, _docs(spark, [("e", NEAR_A.replace("w010", "qq"))]))
-    # roll the stamp back so pre-compaction runs look pending
+    # roll the meta back so pre-compaction runs look pending
     tbl = job.neardup_clusters_tbl
-    rolled = (
-        spark.read.parquet(tbl.run_dir(tbl.committed_runs()[0]))
-        .drop("src_runs")
-        .withColumn("src_runs", F.lit(stamp1))
-    )
-    tbl.replace(rolled, "clusters-rolledback")
+    rolled = spark.read.parquet(tbl.run_dir(tbl.committed_runs()[0]))
+    tbl.replace(rolled, "clusters-rolledback", meta={"src_runs": stamp1})
     assert job.sync_clusters(spark) is not None  # full-rebuild fallback
     assert assignment() == full_cc()
+
+
+def test_sync_clusters_legacy_row_stamp_migrates_to_meta(spark, tmp_path_factory):
+    """A pre-meta snapshot (per-row src_runs stamp column) is read via
+    the legacy fallback; the next sync drops the stamp column and moves
+    the bookkeeping into the manifest meta."""
+    out = str(tmp_path_factory.mktemp("job_nd_legacy"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("a", NEAR_A), ("b", NEAR_B)]))
+    assert job.sync_clusters(spark) is not None
+    runs_now = job.neardup_clusters_tbl.get_meta()["src_runs"]
+
+    # rewrite the snapshot in the LEGACY shape: row stamp, no meta
+    tbl = job.neardup_clusters_tbl
+    legacy = tbl.read(spark).withColumn(
+        "src_runs", F.lit(",".join(runs_now))
+    )
+    tbl.replace(legacy, "clusters-legacy", meta={})
+    assert "src_runs" not in tbl.get_meta()
+
+    # in step: the legacy row stamp is honoured (no spurious rebuild)
+    assert job.sync_clusters(spark) is None
+
+    # a new increment migrates the bookkeeping into the manifest
+    job.run(spark, _docs(spark, [("d", NEAR_D)]))
+    assert job.sync_clusters(spark) is not None
+    assert set(tbl.get_meta()["src_runs"]) >= set(runs_now)
+    assert "src_runs" not in tbl.read(spark).columns
+
+
+def test_sync_clusters_zero_row_snapshot_keeps_meta(spark, tmp_path_factory):
+    """A corpus with NO near-dup pairs commits a zero-row assignment
+    snapshot; the manifest meta still records the reflected pairs runs,
+    so the next sync is a no-op instead of an idempotent redo (the
+    per-row stamp lost this information — round-6 known edge)."""
+    out = str(tmp_path_factory.mktemp("job_nd_zero"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("a", NEAR_A), ("c", OTHER_C)]))  # no pair
+    assert job.read_near_dup_pairs(spark).count() == 0
+    assert job.sync_clusters(spark) is not None
+    assert job.neardup_clusters_tbl.get_meta()["src_runs"]
+    assert job.sync_clusters(spark) is None  # in step despite zero rows
 
 
 def test_lost_increment_fails_loud(spark, tmp_path_factory):

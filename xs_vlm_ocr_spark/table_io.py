@@ -190,7 +190,8 @@ class CheckpointedTable:
                 "manifest flips)."
             )
 
-    def _write_manifest(self, runs: list[str], stats: dict) -> None:
+    def _write_manifest(self, runs: list[str], stats: dict,
+                        meta: dict | None = None) -> None:
         """The ONLY commit point: write-temp + atomic rename.
 
         ``ancestry`` tracks every run id EVER committed that a rewrite
@@ -199,17 +200,32 @@ class CheckpointedTable:
         stable across rewrites, which is what incremental consumers
         keyed on run ids (the near-dup index heal loop, job.py) need:
         compacting an index table must not make its ingested increments
-        look un-ingested."""
+        look un-ingested.
+
+        ``meta``: small table-level JSON dict (Iceberg table-properties
+        analogue) committed in the SAME atomic rename as the data it
+        describes — O(1) bookkeeping that survives compaction, zero-row
+        snapshots and any row-level surgery (the previous home for
+        derived-snapshot provenance was a constant per-row stamp column,
+        which a zero-row snapshot loses and every rewrite re-parses and
+        re-stamps row-wide). None preserves the committed meta."""
         old = self._load_manifest() or {}
         prev = set(old.get("runs", [])) | set(old.get("ancestry", []))
+        if meta is None:
+            meta = old.get("meta", {})
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(self.path, exist_ok=True)
         stats = {r: s for r, s in stats.items() if r in set(runs)}
         with open(tmp, "w") as f:
             json.dump({"runs": runs, "layout": self._layout(),
-                       "stats": stats,
+                       "stats": stats, "meta": meta,
                        "ancestry": sorted(prev - set(runs))}, f)
         os.replace(tmp, self.manifest_path)  # atomic commit point
+
+    def get_meta(self) -> dict:
+        """Committed table-level meta dict (empty for a new table)."""
+        m = self._load_manifest() or {}
+        return m.get("meta", {})
 
     def all_time_runs(self) -> set[str]:
         """Every run id ever committed, including those folded away by
@@ -420,7 +436,8 @@ class CheckpointedTable:
                     f"PARTITION (run_id='{run_id}')"
                 )
 
-    def replace(self, df: DataFrame, run_id: str, stats_bounds=None) -> None:
+    def replace(self, df: DataFrame, run_id: str, stats_bounds=None,
+                meta: dict | None = None) -> None:
         """Rewrite the table as a single snapshot (atomic): the manifest
         flips to [run_id] in one rename; old run dirs become garbage
         (expired snapshots) and are vacuumed afterwards. Reference
@@ -455,7 +472,8 @@ class CheckpointedTable:
                 df.sparkSession.sql(f"DROP TABLE IF EXISTS {self.table_name}")
             self._bucketed_write(df, run_id)
         stat = self._compute_run_stat(df.sparkSession, run_id, stats_bounds)
-        self._write_manifest([run_id], {run_id: stat} if stat else {})
+        self._write_manifest([run_id], {run_id: stat} if stat else {},
+                             meta=meta)
         for r in old_runs:  # expire old snapshots (post-commit cleanup)
             self.abandon(r)
 
