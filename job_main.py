@@ -44,6 +44,20 @@ def main() -> None:
                          "is_canonical; connected components over the "
                          "committed near-dup pairs) as parquet at DIR; "
                          "requires --near-dup-threshold")
+    ap.add_argument("--heldout", default=None, metavar="DIR",
+                    help="enable train/test decontamination as an ingest "
+                         "stage: scan each run's extracted text against the "
+                         "held-out corpus at DIR (parquet with a text column; "
+                         "grams broadcast) and commit the merged contaminated "
+                         "token spans to a `contamination` table; "
+                         "crash-consistent (heal on next run)")
+    ap.add_argument("--contamination-n", type=int, default=13,
+                    help="word n-gram size for --heldout (GPT-3 appendix-C "
+                         "uses 13)")
+    ap.add_argument("--signals", action="store_true",
+                    help="commit per-doc quality signals (Gopher repetition "
+                         "stats + token counts + quality score + lang-id; one "
+                         "zero-shuffle pass) to a `signals` table each run")
     ap.add_argument("--compact-after", type=int, default=None,
                     help="compaction policy: after the run commits, merge any "
                          "output table holding more than N committed runs "
@@ -73,7 +87,10 @@ def main() -> None:
     job = ExtractionJob(args.output, model_name=args.model,
                         timeout_ms=args.timeout_ms, source=args.source,
                         replay_hits=args.replay_hits,
-                        near_dup_threshold=args.near_dup_threshold)
+                        near_dup_threshold=args.near_dup_threshold,
+                        heldout_dir=args.heldout,
+                        contamination_n=args.contamination_n,
+                        compute_signals=args.signals)
     run_id = job.run(spark, docs, run_id=args.run_id,
                      target_partitions=args.partitions,
                      compact_after=args.compact_after)
@@ -101,6 +118,15 @@ def main() -> None:
                 emitted = spark.read.parquet(args.emit_clusters)
                 summary["clusters"] = emitted.select("cluster_id").distinct().count()
                 summary["duplicate_docs"] = emitted.filter("is_canonical = 0").count()
+    if args.heldout is not None:
+        spans = job.read_contamination(spark)
+        summary["contaminated_docs"] = (
+            spans.select("doc_id").distinct().count() if spans is not None else 0
+        )
+        summary["contamination_spans"] = spans.count() if spans is not None else 0
+    if args.signals:
+        sig = job.read_signals(spark)
+        summary["signal_docs"] = sig.count() if sig is not None else 0
     print(json.dumps(summary))
 
 

@@ -86,7 +86,11 @@ class ExtractionJob:
                  source: str = "batch",
                  replay_hits: bool = False,
                  near_dup_threshold: float | None = None,
-                 minhash_params: tuple[int, int, int] = (16, 4, 3)) -> None:
+                 minhash_params: tuple[int, int, int] = (16, 4, 3),
+                 heldout_dir: str | None = None,
+                 contamination_n: int = 13,
+                 compute_signals: bool = False,
+                 repetition_n: int = 2) -> None:
         self.out_dir = out_dir
         self.model_name = model_name
         self.skew_sample_fraction = skew_sample_fraction
@@ -144,6 +148,30 @@ class ExtractionJob:
             self.neardup_clusters_tbl = CheckpointedTable(
                 os.path.join(out_dir, "neardup_clusters")
             )
+        # Train/test decontamination as an INGEST STAGE (round-7
+        # directive 1): with a held-out dir set, every committed run's
+        # extracted text is scanned ONCE against the held-out corpus's
+        # distinct word n-grams (broadcast — the GPT-3 appendix-C
+        # discipline, Brown et al. 2020; reference analogue: every
+        # derived result row is persisted, HistoryManager.cpp:275-328)
+        # and the merged contaminated token spans land in a committed
+        # `contamination` table — crash-consistent via the same
+        # results-run bookkeeping as the near-dup loop.
+        self.heldout_dir = heldout_dir
+        self.contamination_n = contamination_n
+        if heldout_dir is not None:
+            self.contamination = CheckpointedTable(
+                os.path.join(out_dir, "contamination")
+            )
+        # Per-doc quality signals as an INGEST STAGE (round-7 directive
+        # 6): Gopher-style repetition stats + token counts + quality +
+        # lang-id, ONE zero-shuffle projection per increment, committed
+        # to a `signals` table keyed by content_hash — what the
+        # quality-threshold filter in write_deduped consumes.
+        self.compute_signals = compute_signals
+        self.repetition_n = repetition_n
+        if compute_signals:
+            self.signals = CheckpointedTable(os.path.join(out_dir, "signals"))
 
     def plan(self, spark: SparkSession, docs: DataFrame,
              target_partitions: int | None = None,
@@ -340,6 +368,10 @@ class ExtractionJob:
         self.lineage.append(lineage, run_id)
         if self.near_dup_threshold is not None:
             self.sync_near_dup_index(spark)
+        if self.heldout_dir is not None:
+            self.sync_contamination(spark)
+        if self.compute_signals:
+            self.sync_signals(spark)
         if compact_after is not None:
             self.results.maybe_compact(spark, compact_after)
             self.lineage.maybe_compact(spark, compact_after)
@@ -348,7 +380,100 @@ class ExtractionJob:
                 # ingested-increment bookkeeping across compaction
                 self.neardup_index.maybe_compact(spark, compact_after)
                 self.neardup_pairs.maybe_compact(spark, compact_after)
+            if self.heldout_dir is not None:
+                self.contamination.maybe_compact(spark, compact_after)
+            if self.compute_signals:
+                self.signals.maybe_compact(spark, compact_after)
         return run_id
+
+    # ------------------------------------------------ derived-table ingest
+
+    _PROBE_SCHEMA = "doc_id string, full_text string"
+
+    def _pending_results_increments(
+        self, dst: CheckpointedTable, what: str, rebuild_hint: str,
+    ) -> tuple[bool, list[str]]:
+        """Which committed results runs has derived table ``dst`` not
+        ingested yet? Returns ``(bootstrap, runs)``:
+
+        * ``(False, pending)`` — the runs to ingest, in commit order.
+          Un-ingested runs are always a SUFFIX of the results manifest
+          (each consumer's append is its last commit per run), so
+          replaying them in order reproduces the no-crash outcome.
+        * ``(True, covered)`` — ``dst`` is EMPTY but the results table
+          has rewrite history (the feature was enabled on a deployment
+          whose original run dirs were already compacted/retained
+          away): per-increment replay is impossible, but the whole
+          committed corpus is one valid increment — the caller ingests
+          it in one pass and commits with ``also_mark=covered`` so the
+          data and its coverage land in the SAME atomic manifest write.
+
+        Rewrite snapshots (compaction / retention / migration — the
+        canonical prefix list lives in table_io.REWRITE_PREFIXES next to
+        where the ids are minted) are NOT increments: every row they
+        hold came from runs already ingested — run() always syncs before
+        maybe_compact — so ingesting one would duplicate the whole
+        corpus downstream. Raises LOUDLY on the one discipline violation
+        that makes per-increment healing impossible: an original run
+        that was never ingested but whose dir a manual rewrite already
+        absorbed."""
+        ingested = dst.all_time_runs()
+        committed = self.results.committed_runs()
+        rewrite = REWRITE_PREFIXES
+        if not ingested and any(r.startswith(rewrite)
+                                for r in self.results.all_time_runs()):
+            return True, sorted(self.results.all_time_runs())
+        lost = {
+            r for r in self.results.all_time_runs()
+            if not r.startswith(rewrite)
+        } - ingested - set(committed)
+        if lost:
+            raise RuntimeError(
+                f"{what} at {dst.path} is missing increments "
+                f"{sorted(lost)} whose results runs were already "
+                "compacted/expired away — per-increment healing is "
+                f"impossible. Rebuild: {rebuild_hint} and re-run — the "
+                "empty table then takes the BOOTSTRAP path (one "
+                "full-corpus increment, single-run attribution)."
+            )
+        return False, [r for r in committed
+                       if r not in ingested and not r.startswith(rewrite)]
+
+    def _run_corpus(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """One committed results run as (doc_id=content_hash, full_text)
+        probe rows. A committed run with ZERO result rows (e.g. a rerun
+        whose docs were all already committed) writes no run_id
+        partition dir — the manifest entry is the only trace; it still
+        flows through as an empty frame so the consumer's manifest MARKS
+        it ingested (else healing reconsiders it forever)."""
+        run_path = self.results.run_dir(run_id)
+        if os.path.isdir(run_path):
+            return (
+                spark.read.parquet(run_path)
+                .filter(F.col("success") & (F.length("full_text") > 0))
+                .select(F.col("content_hash").alias("doc_id"), "full_text")
+            )
+        return spark.createDataFrame([], self._PROBE_SCHEMA)
+
+    def _committed_corpus(self, spark: SparkSession) -> DataFrame:
+        """The whole committed corpus as probe rows (bootstrap path),
+        one row per content_hash — replay runs re-emit committed hashes
+        as extra history rows; derived per-doc state must not double."""
+        results = self.read_results(spark)
+        if results is None:
+            return spark.createDataFrame([], self._PROBE_SCHEMA)
+        return (
+            results.filter(F.col("success") & (F.length("full_text") > 0))
+            .select(F.col("content_hash").alias("doc_id"), "full_text")
+            .dropDuplicates(["doc_id"])
+        )
+
+    def _bootstrap_run_id(self) -> str:
+        import hashlib
+
+        return "bootstrap-" + hashlib.md5(
+            ",".join(sorted(self.results.all_time_runs())).encode()
+        ).hexdigest()[:12]
 
     def sync_near_dup_index(self, spark: SparkSession) -> list[str]:
         """Bring the persisted near-dup index in step with the committed
@@ -391,98 +516,41 @@ class ExtractionJob:
         )
 
         num_perm, bands, gram_n = self.minhash_params
-        ingested = self.neardup_index.all_time_runs()
-        committed = self.results.committed_runs()
-        # Rewrite snapshots (compaction / retention / migration — the
-        # canonical prefix list lives in table_io.REWRITE_PREFIXES next
-        # to where the ids are minted) are NOT increments: every row
-        # they hold came from runs sync already ingested — run() always
-        # syncs before maybe_compact — so ingesting one would duplicate
-        # the whole corpus in the index. They are skipped; the guards
-        # below keep that skip honest.
-        rewrite = REWRITE_PREFIXES
-        # BOOTSTRAP: a fresh index (nothing ever ingested) over a corpus
-        # that already has rewrite history — near-dup enabled on a
-        # long-lived deployment whose results were compacted/retained
-        # before the feature was turned on. Per-increment ingestion is
-        # impossible (the original run dirs are absorbed), but with an
-        # EMPTY index the whole current committed corpus IS one valid
-        # increment: index it in one pass and, in the SAME atomic
-        # manifest commit, mark every historical results run as covered
-        # (no crash window between data and coverage). The pair SET
-        # equals what per-run ingestion would have produced; attribution
-        # is a single bootstrap run.
-        if not ingested and any(r.startswith(rewrite)
-                                for r in self.results.all_time_runs()):
-            results = self.read_results(spark)
-            corpus = (
-                results.filter(F.col("success") & (F.length("full_text") > 0))
-                .select(F.col("content_hash").alias("doc_id"), "full_text")
-                if results is not None
-                else spark.createDataFrame([], "doc_id string, full_text string")
-            )
+        bootstrap, pending = self._pending_results_increments(
+            self.neardup_index, "near-dup index",
+            rebuild_hint="delete the neardup_index and neardup_pairs dirs",
+        )
+        if bootstrap:
+            # BOOTSTRAP: a fresh index (nothing ever ingested) over a
+            # corpus that already has rewrite history — near-dup enabled
+            # on a long-lived deployment whose results were compacted/
+            # retained before the feature was turned on. Per-increment
+            # ingestion is impossible (the original run dirs are
+            # absorbed), but with an EMPTY index the whole current
+            # committed corpus IS one valid increment: index it in one
+            # pass and, in the SAME atomic manifest commit, mark every
+            # historical results run as covered (no crash window between
+            # data and coverage). The pair SET equals what per-run
+            # ingestion would have produced; attribution is a single
+            # bootstrap run.
             fresh = minhash_band_index(
-                corpus, "full_text", "doc_id", num_perm, bands, gram_n,
-                persist=True,
+                self._committed_corpus(spark), "full_text", "doc_id",
+                num_perm, bands, gram_n, persist=True,
             )
             pairs = (
                 minhash_pairs_from_index(fresh, num_perm, bands, gram_n)
                 .filter(F.col("est_jaccard") >= self.near_dup_threshold)
             )
-            import hashlib
-            boot = "bootstrap-" + hashlib.md5(
-                ",".join(sorted(self.results.all_time_runs())).encode()
-            ).hexdigest()[:12]
-            covered = sorted(self.results.all_time_runs())
+            boot = self._bootstrap_run_id()
             if boot not in self.neardup_pairs.all_time_runs():
                 self.neardup_pairs.append(
                     pairs.withColumn("run_id", F.lit(boot)), boot
                 )
-            self.neardup_index.append(fresh, boot, also_mark=covered)
+            self.neardup_index.append(fresh, boot, also_mark=pending)
             fresh.unpersist()
             return [boot]
-        # LOUD guard against the one discipline violation that makes
-        # per-increment healing impossible: an original run that was
-        # never ingested but has already been absorbed by a rewrite (its
-        # run dir is gone, its rows indistinguishable inside the
-        # snapshot). Only manual compact()/expire() calls between a
-        # crash and the next run can produce this.
-        lost = {
-            r for r in self.results.all_time_runs()
-            if not r.startswith(rewrite)
-        } - ingested - set(committed)
-        if lost:
-            raise RuntimeError(
-                f"near-dup index at {self.neardup_index.path} is missing "
-                f"increments {sorted(lost)} whose results runs were already "
-                "compacted/expired away — per-increment healing is "
-                "impossible. Rebuild the index: delete the neardup_index "
-                "and neardup_pairs dirs and re-run — the empty index then "
-                "takes the BOOTSTRAP path (one full-corpus increment; same "
-                "pair set, single-run attribution)."
-            )
-        pending = [r for r in committed
-                   if r not in ingested and not r.startswith(rewrite)]
         for r in pending:
-            run_path = self.results.run_dir(r)
-            if os.path.isdir(run_path):
-                inc = (
-                    spark.read.parquet(run_path)
-                    .filter(F.col("success") & (F.length("full_text") > 0))
-                    .select(F.col("content_hash").alias("doc_id"), "full_text")
-                )
-            else:
-                # A committed run with ZERO result rows (e.g. a rerun
-                # whose docs were all already committed) writes no
-                # run_id partition dir — the manifest entry is the only
-                # trace. Nothing to probe or index, but the run must
-                # still flow through the normal path so the index
-                # manifest MARKS it ingested (else healing reconsiders
-                # it forever). An empty frame of the results' probe
-                # schema keeps every downstream step on one code path.
-                inc = spark.createDataFrame(
-                    [], "doc_id string, full_text string"
-                )
+            inc = self._run_corpus(spark, r)
             fresh = minhash_band_index(
                 inc, "full_text", "doc_id", num_perm, bands, gram_n,
                 persist=True,
@@ -504,6 +572,145 @@ class ExtractionJob:
             self.neardup_index.append(fresh, r)  # last commit: marks r done
             fresh.unpersist()
         return pending
+
+    def _heldout_corpus(self, spark: SparkSession) -> DataFrame:
+        """The held-out (benchmark/test-set) corpus normalized to probe
+        rows. Accepts any parquet with a ``text`` column (the documents
+        convention) or ``full_text`` (a results table used as the
+        held-out side); a missing id column is synthesized — the
+        contamination operators only consume the held-out GRAMS."""
+        df = spark.read.parquet(self.heldout_dir)
+        text = "text" if "text" in df.columns else "full_text"
+        if text not in df.columns:
+            raise ValueError(
+                f"held-out corpus at {self.heldout_dir} needs a 'text' or "
+                f"'full_text' column; has {df.columns}"
+            )
+        did = (F.col("doc_id").cast("string") if "doc_id" in df.columns
+               else F.monotonically_increasing_id().cast("string"))
+        return df.select(did.alias("doc_id"), F.col(text).alias("full_text"))
+
+    def sync_contamination(self, spark: SparkSession) -> list[str]:
+        """Bring the committed ``contamination`` table in step with the
+        committed results: for every results run not yet scanned
+        (normally just the run committed a moment ago; after a crash,
+        the suffix the crash left behind), compute the merged
+        contaminated token spans of the run's extracted text against
+        the held-out corpus's distinct word n-grams and commit them —
+        (doc_id=content_hash, start_tok, end_tok, run_id). The GPT-3
+        appendix-C discipline (Brown et al. 2020) as an INGEST STAGE;
+        reference analogue: every derived result row is persisted
+        (HistoryManager.cpp:275-328).
+
+        A doc is contamination-FLAGGED iff it has a span row (the
+        operator emits spans only for hit docs), so the doc-level
+        ``ngram_contamination`` verdict at min_hits=1 is a distinct
+        projection of this table — one committed artifact serves both
+        the flag and the span-surgery consumer (write_deduped).
+
+        Crash consistency is the near-dup discipline verbatim
+        (:meth:`sync_near_dup_index`): the contamination append is the
+        run's last commit, un-ingested runs are a manifest suffix, and
+        replay is idempotent because spans depend only on the text.
+        100 TB shape: the held-out gram set is tiny (10^4-10^6 grams)
+        and BROADCASTS; the increment's grams never shuffle — only the
+        hit positions (a sliver of the corpus) take the one groupBy(doc)
+        exchange (plan-pinned in tests/test_job_decontamination.py)."""
+        from xs_vlm_ocr_spark.operators.text_dedup import contamination_spans
+
+        bootstrap, pending = self._pending_results_increments(
+            self.contamination, "contamination table",
+            rebuild_hint="delete the contamination dir",
+        )
+        heldout = self._heldout_corpus(spark)
+        if bootstrap:
+            # same BOOTSTRAP shape as the near-dup index: decon enabled
+            # on a corpus whose original run dirs were already rewritten
+            # away — scan the whole committed corpus as ONE increment
+            # and mark every historical run covered in the same atomic
+            # manifest write.
+            boot = self._bootstrap_run_id()
+            spans = contamination_spans(
+                self._committed_corpus(spark), heldout,
+                n=self.contamination_n, text_col="full_text",
+            ).withColumn("run_id", F.lit(boot))
+            self.contamination.append(spans, boot, also_mark=pending)
+            return [boot]
+        for r in pending:
+            spans = contamination_spans(
+                self._run_corpus(spark, r), heldout,
+                n=self.contamination_n, text_col="full_text",
+            ).withColumn("run_id", F.lit(r))
+            self.contamination.append(spans, r)
+        return pending
+
+    def read_contamination(self, spark: SparkSession) -> DataFrame | None:
+        """Committed contamination spans, one row per (doc, span) —
+        deduplicated across runs (replay runs re-scan committed hashes;
+        the spans are text-derived so duplicates are bit-identical)."""
+        spans = self.contamination.read(spark)
+        if spans is None:
+            return None
+        return spans.dropDuplicates(["doc_id", "start_tok", "end_tok"])
+
+    def sync_signals(self, spark: SparkSession) -> list[str]:
+        """Per-doc quality signals as an INGEST STAGE: ONE zero-shuffle
+        projection per increment computes the Gopher repetition stats
+        (Rae et al. 2021, A1.1) PLUS token counts, composite quality
+        score and lang-id — the ``extra`` hook of
+        :func:`~xs_vlm_ocr_spark.operators.text_analysis.repetition_signals`
+        folds them into the same single pass over the text, no second
+        scan, no per-doc join. Committed to a ``signals`` table keyed by
+        content_hash; write_deduped's quality threshold consumes it.
+
+        Crash consistency: the near-dup discipline verbatim
+        (:meth:`sync_near_dup_index`) — suffix replay, idempotent
+        because every signal is a pure function of the text."""
+        from xs_vlm_ocr_spark.operators.text_analysis import (
+            bpe_ish_token_count,
+            lang_id,
+            quality_score,
+            repetition_signals,
+            token_count,
+        )
+
+        t = F.col("full_text")
+        extra = {
+            "n_tokens": token_count(t).cast("long"),
+            "n_bpe_tokens": bpe_ish_token_count(t).cast("long"),
+            "quality_score": quality_score(t),
+            "lang": lang_id(t),
+        }
+
+        def signals_of(corpus: DataFrame) -> DataFrame:
+            return repetition_signals(
+                corpus, text_col="full_text", id_col="doc_id",
+                n=self.repetition_n, extra=extra,
+            )
+
+        bootstrap, pending = self._pending_results_increments(
+            self.signals, "signals table",
+            rebuild_hint="delete the signals dir",
+        )
+        if bootstrap:
+            boot = self._bootstrap_run_id()
+            sig = signals_of(self._committed_corpus(spark)) \
+                .withColumn("run_id", F.lit(boot))
+            self.signals.append(sig, boot, also_mark=pending)
+            return [boot]
+        for r in pending:
+            sig = signals_of(self._run_corpus(spark, r)) \
+                .withColumn("run_id", F.lit(r))
+            self.signals.append(sig, r)
+        return pending
+
+    def read_signals(self, spark: SparkSession) -> DataFrame | None:
+        """Committed per-doc signals, one row per content_hash (replay
+        runs re-derive identical rows; keep one per doc)."""
+        sig = self.signals.read(spark)
+        if sig is None:
+            return None
+        return sig.dropDuplicates(["doc_id"])
 
     def read_near_dup_pairs(self, spark: SparkSession) -> DataFrame | None:
         return self.neardup_pairs.read(spark)

@@ -111,7 +111,7 @@ def fingerprint64_md5(text: Column) -> Column:
 
 
 def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
-                       n: int = 2):
+                       n: int = 2, extra: dict | None = None):
     """Gopher-style repetition quality signals (Rae et al. 2021,
     Appendix A1.1 "repetitious text" filters), adapted to word n-grams
     — the duplicate-line/paragraph variants need line structure the
@@ -137,6 +137,11 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     mode is the lexicographically smallest top gram — deterministic,
     same semantics as the previous min(struct(-count, gram))
     aggregation (the unchanged DuckDB oracle pins the equivalence).
+
+    ``extra``: optional {name: Column-over-df} computed in the SAME
+    zero-shuffle projection and carried through to the output — how the
+    job's signals table gets token counts / quality / lang-id in one
+    pass instead of a per-doc join against a second scan.
     """
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
 
@@ -160,8 +165,10 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     # alias once and reference the column: a non-cheap expression used
     # by several consumers is NOT re-inlined per use (CollapseProject
     # refuses), so the gram array materializes once per row
+    extra = extra or {}
     with_grams = fan_out_small_input(df).select(
-        F.col(id_col).alias("doc_id"), grams.alias("_grams")
+        F.col(id_col).alias("doc_id"), grams.alias("_grams"),
+        *[c.alias(name) for name, c in extra.items()],
     )
     acc0 = F.struct(
         F.lit("").alias("cur"), F.lit(0).cast("long").alias("cur_n"),
@@ -182,10 +189,12 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
         F.size("_grams").cast("long").alias("n_grams"),
         F.size(F.array_distinct("_grams")).cast("long").alias("n_distinct_grams"),
         F.aggregate(F.array_sort(F.col("_grams")), acc0, _step).alias("_top"),
+        *extra.keys(),
     )
     n_grams, n_distinct = F.col("n_grams"), F.col("n_distinct_grams")
     return staged.select(
         "doc_id",
+        *extra.keys(),
         "n_grams",
         "n_distinct_grams",
         F.when(n_grams > 0, (n_grams - n_distinct) * 1.0 / n_grams)

@@ -235,7 +235,8 @@ class CheckpointedTable:
         return set(m.get("runs", [])) | set(m.get("ancestry", []))
 
     def _commit(self, run_id: str, run_stat: dict | None = None,
-                also_mark: list[str] | tuple[str, ...] = ()) -> None:
+                also_mark: list[str] | tuple[str, ...] = (),
+                meta: dict | None = None) -> None:
         runs = self.committed_runs()
         for r in (run_id, *also_mark):
             if r not in runs:
@@ -243,7 +244,7 @@ class CheckpointedTable:
         stats = self.run_stats()
         if run_stat is not None:
             stats[run_id] = run_stat
-        self._write_manifest(runs, stats)
+        self._write_manifest(runs, stats, meta=meta)
 
     def _compute_run_stat(self, spark: SparkSession, run_id: str,
                           stats_bounds=None) -> dict | None:
@@ -321,7 +322,8 @@ class CheckpointedTable:
             spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
 
     def append(self, df: DataFrame, run_id: str, stats_bounds=None,
-               also_mark: list[str] | tuple[str, ...] = ()) -> None:
+               also_mark: list[str] | tuple[str, ...] = (),
+               meta: dict | None = None) -> None:
         """Write then commit. Crash before the manifest rewrite leaves the
         table unchanged (the partial run dir is garbage, never read).
 
@@ -361,7 +363,7 @@ class CheckpointedTable:
                 )
             self._bucketed_write(df, run_id)
         stat = self._compute_run_stat(df.sparkSession, run_id, stats_bounds)
-        self._commit(run_id, stat, also_mark=also_mark)
+        self._commit(run_id, stat, also_mark=also_mark, meta=meta)
 
     def _catalog_schema_mismatch(self, spark: SparkSession,
                                  schema: T.StructType) -> str | None:
