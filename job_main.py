@@ -58,6 +58,28 @@ def main() -> None:
                     help="commit per-doc quality signals (Gopher repetition "
                          "stats + token counts + quality score + lang-id; one "
                          "zero-shuffle pass) to a `signals` table each run")
+    ap.add_argument("--write-deduped", default=None, metavar="DIR",
+                    help="after the run, APPLY the pipeline's decisions and "
+                         "materialize the cleaned corpus at DIR (atomic "
+                         "snapshot of doc_id, text, was_trimmed): keep one "
+                         "canonical doc per near-dup cluster (with "
+                         "--near-dup-threshold), surgically remove committed "
+                         "contaminated spans (with --heldout; see "
+                         "--drop-contaminated), drop docs failing the quality "
+                         "thresholds (with --signals); per-reason drop counts "
+                         "land in lineage and the snapshot's manifest meta")
+    ap.add_argument("--drop-contaminated", action="store_true",
+                    help="drop contaminated docs whole instead of the default "
+                         "span surgery (requires --heldout)")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs with quality_score below this "
+                         "(requires --signals)")
+    ap.add_argument("--max-dup-gram-frac", type=float, default=None,
+                    help="drop docs with duplicate-gram fraction above this "
+                         "(Gopher repetition filter; requires --signals)")
+    ap.add_argument("--max-top-gram-frac", type=float, default=None,
+                    help="drop docs whose top gram covers more than this "
+                         "fraction (Gopher; requires --signals)")
     ap.add_argument("--compact-after", type=int, default=None,
                     help="compaction policy: after the run commits, merge any "
                          "output table holding more than N committed runs "
@@ -68,6 +90,16 @@ def main() -> None:
         # reject BEFORE the (potentially hours-long) extraction runs —
         # this is pure argparse state
         ap.error("--emit-clusters requires --near-dup-threshold")
+    if args.drop_contaminated and args.heldout is None:
+        ap.error("--drop-contaminated requires --heldout")
+    quality_flags = (args.min_quality, args.max_dup_gram_frac,
+                     args.max_top_gram_frac)
+    if any(x is not None for x in quality_flags) and not args.signals:
+        ap.error("quality thresholds require --signals")
+    if args.write_deduped is None and (
+            args.drop_contaminated or any(x is not None for x in quality_flags)):
+        ap.error("--drop-contaminated / quality thresholds only apply with "
+                 "--write-deduped")
 
     from pyspark.sql import SparkSession
 
@@ -127,6 +159,14 @@ def main() -> None:
     if args.signals:
         sig = job.read_signals(spark)
         summary["signal_docs"] = sig.count() if sig is not None else 0
+    if args.write_deduped is not None:
+        summary["deduped"] = job.write_deduped(
+            spark, args.write_deduped,
+            drop_contaminated=args.drop_contaminated,
+            min_quality=args.min_quality,
+            max_dup_gram_frac=args.max_dup_gram_frac,
+            max_top_gram_frac=args.max_top_gram_frac,
+        )
     print(json.dumps(summary))
 
 

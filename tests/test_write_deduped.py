@@ -1,0 +1,181 @@
+"""write_deduped: the pipeline's decisions APPLIED (round-7 directive 2).
+
+Every decision artifact existed — near-dup clusters (is_canonical),
+contamination spans, quality signals — but nothing materialized the
+cleaned corpus they describe. These tests pin the decision->action step
+against a pure-Python golden on a planted corpus: twins collapse to the
+canonical member, contaminated windows are cut (or the doc dropped),
+quality failures drop, and the per-reason counts land in lineage and
+the snapshot's manifest meta.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from xs_vlm_ocr_spark.extract.pipeline import WS_CHARS
+from xs_vlm_ocr_spark.job import ExtractionJob
+from xs_vlm_ocr_spark.schemas import DOCS_SCHEMA
+from xs_vlm_ocr_spark.table_io import CheckpointedTable
+
+BENCH = " ".join(f"bench{i:02d}" for i in range(12))
+CLEAN_1 = " ".join(f"alpha{i:03d}" for i in range(60))
+CLEAN_2 = " ".join(f"beta{i:03d}" for i in range(60))
+# TAINTED must NOT share vocabulary with any clean doc: at threshold 0.5
+# the near-dup stage would (correctly) collapse it into that doc's
+# cluster and the duplicate drop would shadow the span-surgery path
+TAINTED = (" ".join(f"gamma{i:03d}" for i in range(30)) + " " + BENCH
+           + " " + " ".join(f"gamma{i:03d}" for i in range(30, 60)))
+TWIN_A = " ".join(f"w{i:03d}" for i in range(200))
+TWIN_B = TWIN_A.replace("w050", "xychanged")
+LOW_QUALITY = "zz zz"  # < 50 chars and mean word < 3 -> score 1/3
+
+
+def _python_golden_surgery(text: str, heldout: str, n: int) -> str:
+    """Pure-Python mirror of span surgery: remove every token position
+    covered by an n-gram shared with the held-out text."""
+    # WS_CHARS is already regex-escaped for embedding in a char class
+    ws = re.compile(f"[{WS_CHARS}]+")
+    toks = ws.split(text.strip())
+    lo = [t.lower() for t in toks]
+    held = ws.split(heldout.strip().lower())
+    held_grams = {
+        " ".join(held[i:i + n]) for i in range(max(len(held) - n, 0) + 1)
+    }
+    removed = set()
+    for p in range(max(len(lo) - n, 0) + 1):
+        if " ".join(lo[p:p + n]) in held_grams:
+            removed.update(range(p, p + n))
+    return " ".join(t for i, t in enumerate(toks) if i not in removed)
+
+
+def _docs(spark, items):
+    rows = [
+        {"doc_id": did,
+         "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]}
+        for did, text in items
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def _heldout(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("heldout") / "bench")
+    spark.createDataFrame([(0, BENCH)], "doc_id long, text string") \
+        .write.parquet(d)
+    return d
+
+
+def _hashes(job, spark):
+    res = job.read_results(spark)
+    return {r["full_text"]: r["content_hash"] for r in res.collect()}
+
+
+@pytest.fixture(scope="module")
+def decided(spark, tmp_path_factory):
+    """One job with every decision input on, two ingests, one
+    write_deduped pass — shared by the value assertions below."""
+    out = str(tmp_path_factory.mktemp("wd_job"))
+    hd = _heldout(spark, tmp_path_factory)
+    job = ExtractionJob(out, near_dup_threshold=0.5, heldout_dir=hd,
+                        contamination_n=5, compute_signals=True)
+    job.run(spark, _docs(spark, [("a", TWIN_A), ("t", TAINTED),
+                                 ("c1", CLEAN_1)]))
+    job.run(spark, _docs(spark, [("b", TWIN_B), ("q", LOW_QUALITY),
+                                 ("c2", CLEAN_2)]))
+    dest = str(tmp_path_factory.mktemp("wd_dest") / "corpus")
+    counts = job.write_deduped(spark, dest, min_quality=0.5)
+    rows = {r["doc_id"]: (r["text"], r["was_trimmed"])
+            for r in CheckpointedTable(dest).read(spark).collect()}
+    return job, dest, counts, rows
+
+
+def test_kept_set_matches_golden(decided, spark):
+    job, dest, counts, rows = decided
+    h = _hashes(job, spark)
+    twin_keep = min(h[TWIN_A], h[TWIN_B])
+    expect_kept = {twin_keep, h[TAINTED], h[CLEAN_1], h[CLEAN_2]}
+    assert set(rows) == expect_kept
+    assert counts["docs_in"] == 6
+    assert counts["kept"] == 4
+    assert counts["dropped_duplicate"] == 1
+    assert counts["dropped_quality"] == 1
+    assert counts["dropped_contaminated"] == 0
+    assert counts["trimmed_docs"] == 1
+
+
+def test_surgery_equals_python_golden(decided, spark):
+    job, dest, counts, rows = decided
+    h = _hashes(job, spark)
+    golden = _python_golden_surgery(TAINTED, BENCH, n=5)
+    assert rows[h[TAINTED]] == (golden, True)
+    assert "bench00" not in rows[h[TAINTED]][0]
+    # untouched docs keep their bytes exactly, not a re-join
+    assert rows[h[CLEAN_1]] == (CLEAN_1, False)
+    assert rows[h[CLEAN_2]] == (CLEAN_2, False)
+
+
+def test_counts_in_lineage_and_meta(decided, spark):
+    job, dest, counts, rows = decided
+    meta = CheckpointedTable(dest).get_meta()
+    for k, v in counts.items():
+        assert meta[k] == v
+    lin = job.read_lineage(spark).filter(
+        F.col("stage").startswith("dedup:")
+    ).collect()
+    by_stage = {r["stage"]: r["docs_out"] for r in lin}
+    assert by_stage == {
+        "dedup:kept": 4, "dedup:duplicate": 1,
+        "dedup:contaminated": 0, "dedup:quality": 1,
+    }
+    assert all(r["docs_in"] == 6 for r in lin)
+
+
+def test_rerun_is_idempotent(decided, spark):
+    """Same corpus + same params -> same deterministic snapshot id,
+    identical content, and NO duplicate lineage rows."""
+    job, dest, counts, rows = decided
+    n_lineage = job.read_lineage(spark).count()
+    counts2 = job.write_deduped(spark, dest, min_quality=0.5)
+    assert counts2 == counts
+    rows2 = {r["doc_id"]: (r["text"], r["was_trimmed"])
+             for r in CheckpointedTable(dest).read(spark).collect()}
+    assert rows2 == rows
+    assert job.read_lineage(spark).count() == n_lineage
+
+
+def test_drop_contaminated_mode(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wd_drop"))
+    hd = _heldout(spark, tmp_path_factory)
+    job = ExtractionJob(out, heldout_dir=hd, contamination_n=5)
+    job.run(spark, _docs(spark, [("t", TAINTED), ("c1", CLEAN_1)]))
+    dest = str(tmp_path_factory.mktemp("wd_drop_dest") / "corpus")
+    counts = job.write_deduped(spark, dest, drop_contaminated=True)
+    h = _hashes(job, spark)
+    rows = {r["doc_id"] for r in CheckpointedTable(dest).read(spark).collect()}
+    assert rows == {h[CLEAN_1]}
+    assert counts["dropped_contaminated"] == 1
+    assert counts["trimmed_docs"] == 0
+
+
+def test_plain_job_passthrough(spark, tmp_path_factory):
+    """No decision inputs at all -> every committed doc kept verbatim
+    (write_deduped degrades to an exact-dedup snapshot of the corpus,
+    since the committed corpus is already one row per content_hash)."""
+    out = str(tmp_path_factory.mktemp("wd_plain"))
+    job = ExtractionJob(out)
+    job.run(spark, _docs(spark, [("c1", CLEAN_1), ("c2", CLEAN_2)]))
+    dest = str(tmp_path_factory.mktemp("wd_plain_dest") / "corpus")
+    counts = job.write_deduped(spark, dest)
+    assert counts["kept"] == 2 and counts["docs_in"] == 2
+    rows = {r["doc_id"]: r["text"]
+            for r in CheckpointedTable(dest).read(spark).collect()}
+    assert set(rows.values()) == {CLEAN_1, CLEAN_2}
+
+
+def test_quality_flags_require_signals(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wd_guard"))
+    job = ExtractionJob(out)
+    with pytest.raises(ValueError, match="compute_signals"):
+        job.write_deduped(spark, str(tmp_path_factory.mktemp("d")),
+                          min_quality=0.5)

@@ -842,6 +842,175 @@ class ExtractionJob:
         # keep-canonical dedup pass drop every surviving member
         return finalize_canonical(joined, "doc_id")
 
+    def write_deduped(self, spark: SparkSession, dest: str, *,
+                      drop_contaminated: bool = False,
+                      min_quality: float | None = None,
+                      max_dup_gram_frac: float | None = None,
+                      max_top_gram_frac: float | None = None) -> dict:
+        """Materialize the pipeline's DECISIONS as a cleaned corpus: the
+        point of the whole pairs->clusters->spans->signals chain. One
+        distributed pass over the committed corpus:
+
+          1. near-dup DEDUP — keep the ``is_canonical`` row of each
+             cluster (:meth:`near_dup_clusters`; skipped when the job
+             runs without ``near_dup_threshold``);
+          2. contamination — by default SPAN SURGERY: the committed
+             merged token spans are cut out of the text and the doc is
+             kept (GPT-3 appendix-C removes the contaminated window,
+             not the document; Brown et al. 2020). The removed windows'
+             whitespace is normalized to single spaces (the tokens
+             re-join on ' '); untouched docs keep their bytes exactly.
+             ``drop_contaminated=True`` drops flagged docs whole;
+          3. quality — Gopher-style keep/drop thresholds over the
+             committed signals table (requires ``compute_signals``).
+
+        Drop precedence (a doc failing several filters counts ONCE):
+        duplicate > contaminated > quality.
+
+        The kept corpus lands at ``dest`` as an atomic single-snapshot
+        CheckpointedTable (doc_id=content_hash, text, was_trimmed) with
+        a DETERMINISTIC run id (md5 of source runs + decision params) —
+        re-running the same decision over the same corpus rewrites
+        bit-identical content instead of minting a new state. Per-reason
+        drop counts are returned, appended to the job's LINEAGE table
+        (stage ``dedup:*``, one row per reason — the reference persists
+        every derived counter it computes, HistoryManager.cpp:275-328)
+        and stamped into the snapshot's manifest meta.
+
+        100 TB shape: decision inputs (clusters, spans, signals) join
+        the corpus on content_hash — each is orders of magnitude
+        narrower than the text they describe; drop counting is an
+        Observation (map-side accumulators on the single write pass,
+        no second scan of the corpus); the span cut is a per-row array
+        fold, zero extra shuffle."""
+        from pyspark.sql import Observation
+
+        from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
+
+        quality_gated = any(x is not None for x in (
+            min_quality, max_dup_gram_frac, max_top_gram_frac))
+        if quality_gated and not self.compute_signals:
+            raise ValueError(
+                "quality thresholds need the signals table: construct the "
+                "job with compute_signals=True (CLI --signals)"
+            )
+        # bring every decision input in step first (no-ops when run()
+        # already synced; heals a crashed suffix when called standalone)
+        if self.near_dup_threshold is not None:
+            self.sync_near_dup_index(spark)
+        if self.heldout_dir is not None:
+            self.sync_contamination(spark)
+        if self.compute_signals:
+            self.sync_signals(spark)
+
+        corpus = self._committed_corpus(spark)
+        dup = F.lit(False)
+        if self.near_dup_threshold is not None:
+            clusters = self.near_dup_clusters(spark)
+            if clusters is not None:
+                corpus = corpus.join(
+                    clusters.select("doc_id", "is_canonical"), "doc_id", "left"
+                )
+                dup = F.coalesce(F.col("is_canonical"), F.lit(1)) == 0
+        span_t = "array<struct<start_tok:bigint,end_tok:bigint>>"
+        spans_col = F.expr("array()").cast(span_t)
+        if self.heldout_dir is not None:
+            spans = self.read_contamination(spark)
+            if spans is not None:
+                per_doc = spans.groupBy("doc_id").agg(
+                    F.sort_array(F.collect_list(
+                        F.struct("start_tok", "end_tok")
+                    )).alias("_spans")
+                )
+                corpus = corpus.join(per_doc, "doc_id", "left")
+                spans_col = F.coalesce(F.col("_spans"),
+                                       F.expr("array()").cast(span_t))
+        low_quality = F.lit(False)
+        if quality_gated:
+            sig = self.read_signals(spark)
+            if sig is not None:
+                corpus = corpus.join(
+                    sig.select("doc_id", "quality_score", "dup_gram_frac",
+                               "top_gram_frac"),
+                    "doc_id", "left",
+                )
+                if min_quality is not None:
+                    low_quality = low_quality | (
+                        F.col("quality_score") < min_quality)
+                if max_dup_gram_frac is not None:
+                    low_quality = low_quality | (
+                        F.col("dup_gram_frac") > max_dup_gram_frac)
+                if max_top_gram_frac is not None:
+                    low_quality = low_quality | (
+                        F.col("top_gram_frac") > max_top_gram_frac)
+
+        contaminated = F.size(spans_col) > 0
+        reason = (
+            F.when(dup, "duplicate")
+            .when(F.lit(drop_contaminated) & contaminated, "contaminated")
+            .when(low_quality, "quality")
+        )  # NULL = kept
+        trimmed = contaminated & ~F.lit(drop_contaminated)
+        toks = F.split(F.trim(F.col("full_text")), WS_RE)
+        # cut the contaminated windows: token index against the merged
+        # span list (tiny per doc) — same tokenizer as the span emitter,
+        # so indices line up by construction
+        clean = F.array_join(
+            F.filter(toks, lambda x, i: ~F.exists(
+                spans_col,
+                lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
+            )),
+            " ",
+        )
+        obs = Observation("write_deduped")
+        decided = corpus.select(
+            "doc_id",
+            F.when(trimmed, clean).otherwise(F.col("full_text")).alias("text"),
+            reason.alias("_reason"),
+            trimmed.alias("_trimmed"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("_reason") == "duplicate").cast("long")).alias("duplicate"),
+            F.sum((F.col("_reason") == "contaminated").cast("long")).alias("contaminated"),
+            F.sum((F.col("_reason") == "quality").cast("long")).alias("quality"),
+            F.sum((F.col("_reason").isNull() & F.col("_trimmed")).cast("long")).alias("trimmed"),
+        )
+        kept = (
+            decided.filter(F.col("_reason").isNull())
+            .select("doc_id", "text", F.col("_trimmed").alias("was_trimmed"))
+        )
+        import hashlib
+
+        params = (sorted(self.results.all_time_runs()), drop_contaminated,
+                  min_quality, max_dup_gram_frac, max_top_gram_frac,
+                  self.near_dup_threshold, self.heldout_dir is not None)
+        snap = "dedup-" + hashlib.md5(repr(params).encode()).hexdigest()[:12]
+        out = CheckpointedTable(dest)
+        out.replace(kept, snap)  # atomic flip; the write drives obs
+        m = obs.get
+        counts = {
+            "snapshot": snap,
+            "docs_in": m["total"] or 0,
+            "kept": (m["total"] or 0) - sum(
+                m[k] or 0 for k in ("duplicate", "contaminated", "quality")),
+            "dropped_duplicate": m["duplicate"] or 0,
+            "dropped_contaminated": m["contaminated"] or 0,
+            "dropped_quality": m["quality"] or 0,
+            "trimmed_docs": m["trimmed"] or 0,
+        }
+        out.set_meta(counts)  # self-describing snapshot (informational)
+        if snap not in self.lineage.all_time_runs():
+            rows = [
+                (snap, f"dedup:{k}", -1, counts["docs_in"],
+                 counts[f"dropped_{k}" if k != "kept" else "kept"], 0, 0)
+                for k in ("kept", "duplicate", "contaminated", "quality")
+            ]
+            self.lineage.append(
+                spark.createDataFrame(rows, LINEAGE_SCHEMA), snap
+            )
+        return counts
+
     def read_results(self, spark: SparkSession, ts_start=None,
                      ts_end=None) -> DataFrame | None:
         """Committed results; optional inclusive ts window prunes whole

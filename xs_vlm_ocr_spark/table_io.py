@@ -227,6 +227,16 @@ class CheckpointedTable:
         m = self._load_manifest() or {}
         return m.get("meta", {})
 
+    def set_meta(self, meta: dict) -> None:
+        """Replace the table-level meta dict (atomic manifest rewrite;
+        runs/stats untouched). For meta only computable AFTER the data
+        action — e.g. observed drop counts stamped onto a snapshot a
+        moment after ``replace`` committed it; callers for whom the
+        tiny data-without-meta crash window matters should pass ``meta``
+        into append/replace instead (one atomic commit)."""
+        self._write_manifest(self.committed_runs(), self.run_stats(),
+                             meta=meta)
+
     def all_time_runs(self) -> set[str]:
         """Every run id ever committed, including those folded away by
         rewrites — the stable bookkeeping key for incremental ingestion
