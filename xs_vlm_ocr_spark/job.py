@@ -885,7 +885,7 @@ class ExtractionJob:
         fold, zero extra shuffle."""
         from pyspark.sql import Observation
 
-        from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
+        from xs_vlm_ocr_spark.operators.dedup import decide_corpus
 
         quality_gated = any(x is not None for x in (
             min_quality, max_dup_gram_frac, max_top_gram_frac))
@@ -903,71 +903,21 @@ class ExtractionJob:
         if self.compute_signals:
             self.sync_signals(spark)
 
-        corpus = self._committed_corpus(spark)
-        dup = F.lit(False)
-        if self.near_dup_threshold is not None:
-            clusters = self.near_dup_clusters(spark)
-            if clusters is not None:
-                corpus = corpus.join(
-                    clusters.select("doc_id", "is_canonical"), "doc_id", "left"
-                )
-                dup = F.coalesce(F.col("is_canonical"), F.lit(1)) == 0
-        span_t = "array<struct<start_tok:bigint,end_tok:bigint>>"
-        spans_col = F.expr("array()").cast(span_t)
-        if self.heldout_dir is not None:
-            spans = self.read_contamination(spark)
-            if spans is not None:
-                per_doc = spans.groupBy("doc_id").agg(
-                    F.sort_array(F.collect_list(
-                        F.struct("start_tok", "end_tok")
-                    )).alias("_spans")
-                )
-                corpus = corpus.join(per_doc, "doc_id", "left")
-                spans_col = F.coalesce(F.col("_spans"),
-                                       F.expr("array()").cast(span_t))
-        low_quality = F.lit(False)
-        if quality_gated:
-            sig = self.read_signals(spark)
-            if sig is not None:
-                corpus = corpus.join(
-                    sig.select("doc_id", "quality_score", "dup_gram_frac",
-                               "top_gram_frac"),
-                    "doc_id", "left",
-                )
-                if min_quality is not None:
-                    low_quality = low_quality | (
-                        F.col("quality_score") < min_quality)
-                if max_dup_gram_frac is not None:
-                    low_quality = low_quality | (
-                        F.col("dup_gram_frac") > max_dup_gram_frac)
-                if max_top_gram_frac is not None:
-                    low_quality = low_quality | (
-                        F.col("top_gram_frac") > max_top_gram_frac)
-
-        contaminated = F.size(spans_col) > 0
-        reason = (
-            F.when(dup, "duplicate")
-            .when(F.lit(drop_contaminated) & contaminated, "contaminated")
-            .when(low_quality, "quality")
-        )  # NULL = kept
-        trimmed = contaminated & ~F.lit(drop_contaminated)
-        toks = F.split(F.trim(F.col("full_text")), WS_RE)
-        # cut the contaminated windows: token index against the merged
-        # span list (tiny per doc) — same tokenizer as the span emitter,
-        # so indices line up by construction
-        clean = F.array_join(
-            F.filter(toks, lambda x, i: ~F.exists(
-                spans_col,
-                lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
-            )),
-            " ",
-        )
+        clusters = (self.near_dup_clusters(spark)
+                    if self.near_dup_threshold is not None else None)
+        spans = (self.read_contamination(spark)
+                 if self.heldout_dir is not None else None)
+        sig = self.read_signals(spark) if quality_gated else None
         obs = Observation("write_deduped")
-        decided = corpus.select(
-            "doc_id",
-            F.when(trimmed, clean).otherwise(F.col("full_text")).alias("text"),
-            reason.alias("_reason"),
-            trimmed.alias("_trimmed"),
+        decided = decide_corpus(
+            self._committed_corpus(spark),
+            clusters=clusters, spans=spans, signals=sig,
+            drop_contaminated=drop_contaminated,
+            min_quality=min_quality,
+            max_dup_gram_frac=max_dup_gram_frac,
+            max_top_gram_frac=max_top_gram_frac,
+        ).withColumnsRenamed(
+            {"reason": "_reason", "was_trimmed": "_trimmed"}
         ).observe(
             obs,
             F.count(F.lit(1)).alias("total"),

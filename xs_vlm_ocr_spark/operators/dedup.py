@@ -67,6 +67,106 @@ def cache_hits(jobs: DataFrame, results: DataFrame | None) -> DataFrame | None:
     )
 
 
+def decide_corpus(corpus: DataFrame, *, text_col: str = "full_text",
+                  id_col: str = "doc_id",
+                  clusters: DataFrame | None = None,
+                  spans: DataFrame | None = None,
+                  signals: DataFrame | None = None,
+                  drop_contaminated: bool = False,
+                  min_quality: float | None = None,
+                  max_dup_gram_frac: float | None = None,
+                  max_top_gram_frac: float | None = None) -> DataFrame:
+    """The corpus-cleaning DECISION as one declarative projection —
+    shared verbatim by ``ExtractionJob.write_deduped`` (over committed
+    tables) and the ``deduped_kept_corpus`` contract query (over the
+    testdata ``documents`` table), so the deployed decision and the
+    oracle-checked one can never fork.
+
+    Inputs (all optional; an absent input disables that filter):
+      clusters — (id_col, is_canonical): near-dup cluster assignment;
+        non-canonical rows drop as ``duplicate``;
+      spans    — (id_col, start_tok, end_tok): merged contaminated
+        token windows. Default is GPT-3 appendix-C SPAN SURGERY (cut
+        the window, keep the doc; Brown et al. 2020);
+        ``drop_contaminated=True`` drops flagged docs whole;
+      signals  — (id_col, quality_score, dup_gram_frac, top_gram_frac):
+        Gopher-style keep/drop thresholds (Rae et al. 2021 A1.1).
+
+    Returns one row per corpus row: (id_col, text, reason,
+    was_trimmed). ``reason`` is NULL for kept rows, else the FIRST
+    failing filter in precedence duplicate > contaminated > quality
+    (a doc failing several counts once). ``text`` is the post-surgery
+    text for trimmed rows; untouched rows keep their bytes exactly
+    (never a re-join). Token indices in ``spans`` refer to the pinned
+    whitespace split (text_analysis.WS_RE) of the trimmed text — the
+    same tokenizer the span emitters use, so positions line up by
+    construction.
+
+    100 TB shape: every decision input joins the corpus on the id —
+    each is orders of magnitude narrower than the text it describes;
+    the span cut is a per-row array fold; zero extra shuffle beyond
+    the (broadcast-eligible) decision joins."""
+    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
+
+    dup = F.lit(False)
+    if clusters is not None:
+        corpus = corpus.join(
+            clusters.select(id_col, "is_canonical"), id_col, "left"
+        )
+        dup = F.coalesce(F.col("is_canonical"), F.lit(1)) == 0
+    span_t = "array<struct<start_tok:bigint,end_tok:bigint>>"
+    spans_col = F.expr("array()").cast(span_t)
+    if spans is not None:
+        per_doc = spans.groupBy(id_col).agg(
+            F.sort_array(F.collect_list(
+                F.struct("start_tok", "end_tok")
+            )).alias("_spans")
+        )
+        corpus = corpus.join(per_doc, id_col, "left")
+        spans_col = F.coalesce(F.col("_spans"),
+                               F.expr("array()").cast(span_t))
+    low_quality = F.lit(False)
+    if signals is not None:
+        corpus = corpus.join(
+            signals.select(id_col, "quality_score", "dup_gram_frac",
+                           "top_gram_frac"),
+            id_col, "left",
+        )
+        if min_quality is not None:
+            low_quality = low_quality | (
+                F.col("quality_score") < min_quality)
+        if max_dup_gram_frac is not None:
+            low_quality = low_quality | (
+                F.col("dup_gram_frac") > max_dup_gram_frac)
+        if max_top_gram_frac is not None:
+            low_quality = low_quality | (
+                F.col("top_gram_frac") > max_top_gram_frac)
+
+    contaminated = F.size(spans_col) > 0
+    reason = (
+        F.when(dup, "duplicate")
+        .when(F.lit(drop_contaminated) & contaminated, "contaminated")
+        .when(low_quality, "quality")
+    )  # NULL = kept
+    trimmed = contaminated & ~F.lit(drop_contaminated)
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    # cut the contaminated windows: token index against the merged
+    # span list (tiny per doc)
+    clean = F.array_join(
+        F.filter(toks, lambda x, i: ~F.exists(
+            spans_col,
+            lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
+        )),
+        " ",
+    )
+    return corpus.select(
+        id_col,
+        F.when(trimmed, clean).otherwise(F.col(text_col)).alias("text"),
+        reason.alias("reason"),
+        trimmed.alias("was_trimmed"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "full_text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact text dedup: md5-groupBy keep-first (training-data pipeline
