@@ -232,10 +232,20 @@ def _q_dedup_cache_probe(spark, sf_dir):
 
 
 def _q_token_count(spark, sf_dir):
-    from xs_vlm_ocr_spark.operators.text_analysis import token_count
+    """Both tokenizer regimes in one projection: the pinned-whitespace
+    word count and the BPE-ish regex piece count (the two budgets a
+    training-data pipeline sizes corpora by)."""
+    from xs_vlm_ocr_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+        token_count,
+    )
 
     docs = _doc_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
 
 
 def _q_quality_score(spark, sf_dir):
@@ -430,28 +440,29 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    from xs_vlm_ocr_spark.operators.text_dedup import embedding_near_dup_pairs
-
-    emb = _doc_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4, dim=64)
-
-
-def _q_embedding_near_dup_t09(spark, sf_dir):
-    """Tight-threshold (0.9) registration of the eps-grid near-dup. The
-    driver's isotropic embeddings have no natural 0.9-cosine pairs, so
-    the input plants one exact clone per vector (vec_id + 100000) — both
-    engines build the same union, and the expected output is exactly the
-    planted (v, v+100000) pairs, value-checking candidate generation AND
-    the exact verify at the tight threshold. The pruning this regime
-    enables is asserted on clustered data in
+    """BOTH eps-grid cosine near-dup regimes in one union, tagged by
+    `regime`. t04 is the loose threshold over the raw embeddings. t09
+    is the tight threshold: the driver's isotropic embeddings have no
+    natural 0.9-cosine pairs, so the t09 input plants one exact clone
+    per vector (vec_id + 100000) — both engines build the same union,
+    and the expected output is exactly the planted (v, v+100000) pairs,
+    value-checking candidate generation AND the exact verify at the
+    tight threshold. The pruning the tight regime enables is asserted
+    on clustered data in
     tests/test_text_dedup.py::test_grid_prunes_clustered_data_at_tight_threshold
     (isotropic high-dim input degrades the grid to a hash-partitioned
     all-pairs equi-join — see the operator docstring)."""
     from xs_vlm_ocr_spark.operators.text_dedup import embedding_near_dup_pairs
 
     emb = _doc_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    loose = embedding_near_dup_pairs(emb, threshold=0.4, dim=64).select(
+        "a", "b", F.lit("t04").alias("regime")
+    )
     planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9, dim=64)
+    tight = embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.9, dim=64
+    ).select("a", "b", F.lit("t09").alias("regime"))
+    return loose.unionByName(tight)
 
 
 def _q_lang_id(spark, sf_dir):
@@ -459,13 +470,6 @@ def _q_lang_id(spark, sf_dir):
 
     docs = _doc_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
-
-
-def _q_bpe_token_count(spark, sf_dir):
-    from xs_vlm_ocr_spark.operators.text_analysis import bpe_ish_token_count
-
-    docs = _doc_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe"))
 
 
 def _q_fingerprint_dedup(spark, sf_dir):
@@ -594,6 +598,59 @@ def _q_repetition_signals(spark, sf_dir):
 
     docs = _doc_table(spark, sf_dir, "documents")
     return repetition_signals(docs, n=2)
+
+
+def _q_deduped_kept_corpus(spark, sf_dir):
+    """The MATERIALIZED corpus-cleaning decision, end to end: near-dup
+    clusters (banded MinHash -> connected components) mark non-canonical
+    docs `duplicate`; Gopher-style quality thresholds mark low-quality
+    docs `quality`; GPT-3 appendix-C span surgery cuts contaminated
+    token windows from surviving text (was_trimmed=1). This is the SAME
+    `decide_corpus` projection `ExtractionJob.write_deduped` commits on
+    the deployment surface (operators/dedup.py — shared code, the
+    deployed decision and the oracle-checked one cannot fork). Oracle:
+    the composed SQL of each input's already-verified oracle plus an
+    unnest-based token-window cut."""
+    from xs_vlm_ocr_spark.operators.components import assign_clusters
+    from xs_vlm_ocr_spark.operators.dedup import decide_corpus
+    from xs_vlm_ocr_spark.operators.text_analysis import (
+        quality_score,
+        repetition_signals,
+    )
+    from xs_vlm_ocr_spark.operators.text_dedup import (
+        contamination_spans,
+        minhash_lsh_pairs_portable,
+    )
+
+    docs = _doc_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(docs, num_perm=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clusters = assign_clusters(docs.select("doc_id"), pairs)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    spans = contamination_spans(train, test, n=3)
+    sig = repetition_signals(docs, n=2).join(
+        docs.select(
+            "doc_id", quality_score(F.col("text")).alias("quality_score")
+        ),
+        "doc_id",
+    )
+    decided = decide_corpus(
+        docs.select("doc_id", "text"),
+        text_col="text",
+        clusters=clusters,
+        spans=spans,
+        signals=sig,
+        min_quality=0.9,
+        max_top_gram_frac=0.08,
+    )
+    return decided.select(
+        "doc_id",
+        F.coalesce("reason", F.lit("kept")).alias("reason"),
+        F.col("was_trimmed").cast("int").alias("was_trimmed"),
+        "text",
+    )
 
 
 def _q_incremental_minhash(spark, sf_dir):
@@ -867,32 +924,32 @@ def _q_running_window_agg(spark, sf_dir):
     )
 
 
-def _q_semi_anti_joins(spark, sf_dir):
-    """Explicit left-semi / left-anti forms (EXISTS / NOT EXISTS)."""
+def _q_semi_anti_set_ops(spark, sf_dir):
+    """Explicit left-semi / left-anti forms (EXISTS / NOT EXISTS) plus
+    intersect / exceptAll set operations, one (row_key, side) union —
+    folded into a single registration so the whole contract surface
+    stays inside the driver's 50-query verification window."""
     orders = _doc_table(spark, sf_dir, "orders")
     cust = _doc_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     semi = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi").select(
-        "o_orderkey", F.lit("building").alias("side")
+        F.col("o_orderkey").alias("row_key"), F.lit("building").alias("side")
     )
     anti = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").select(
-        "o_orderkey", F.lit("other").alias("side")
+        F.col("o_orderkey").alias("row_key"), F.lit("other").alias("side")
     )
-    return semi.unionByName(anti)
-
-
-def _q_set_ops(spark, sf_dir):
-    """unionByName / intersect / exceptAll over doc slices."""
     docs = _doc_table(spark, sf_dir, "documents").select("doc_id", "lang")
     en = docs.filter(F.col("lang") == "en")
     short = _doc_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") < 300
     ).select("doc_id", "lang")
-    return (
-        en.intersect(short).withColumn("bucket", F.lit("en_short"))
-        .unionByName(en.exceptAll(short).withColumn("bucket", F.lit("en_long")))
+    sets = (
+        en.intersect(short).withColumn("side", F.lit("en_short"))
+        .unionByName(en.exceptAll(short).withColumn("side", F.lit("en_long")))
+        .select(F.col("doc_id").alias("row_key"), "side")
     )
+    return semi.unionByName(anti).unionByName(sets)
 
 
 
@@ -933,9 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_t09": _q_embedding_near_dup_t09,
         "lang_id": _q_lang_id,
-        "bpe_token_count": _q_bpe_token_count,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "neardup_clusters": _q_neardup_clusters,
@@ -943,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _q_ngram_contamination,
         "contamination_spans": _q_contamination_spans,
         "repetition_signals": _q_repetition_signals,
+        "deduped_kept_corpus": _q_deduped_kept_corpus,
         "incremental_minhash_probe": _q_incremental_minhash,
         "minhash_index_maintenance": _q_minhash_index_maintenance,
         "simhash_near_pairs": _q_simhash_near,
@@ -960,8 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_response_parse": _q_json_response_parse,
         "scalar_functions": _q_scalar_functions,
         "running_window_agg": _q_running_window_agg,
-        "semi_anti_joins": _q_semi_anti_joins,
-        "set_ops": _q_set_ops,
+        "semi_anti_set_ops": _q_semi_anti_set_ops,
     }
 
 
@@ -1049,7 +1104,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '{WS_RE}')) AS n_tokens
+                   len(regexp_split_to_array(trim(text), '{WS_RE}')) AS n_tokens,
+                   len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe
             FROM documents
         """,
         "quality_score": f"""
@@ -1409,44 +1465,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
         """,
         "embedding_near_dup": """
-            WITH v AS (SELECT vec_id, embedding FROM embeddings),
-            pairs AS (
-              SELECT x.vec_id a, y.vec_id b,
-                list_sum(list_transform(list_zip(x.embedding, y.embedding),
-                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
-                sqrt(list_sum(list_transform(x.embedding,
-                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nx,
-                sqrt(list_sum(list_transform(y.embedding,
-                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS ny
-              FROM v x JOIN v y ON x.vec_id < y.vec_id
+            SELECT a, b, 't04' AS regime FROM (
+              WITH v AS (SELECT vec_id, embedding FROM embeddings),
+              pairs AS (
+                SELECT x.vec_id a, y.vec_id b,
+                  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+                  sqrt(list_sum(list_transform(x.embedding,
+                           e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nx,
+                  sqrt(list_sum(list_transform(y.embedding,
+                           e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS ny
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+              )
+              SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.4
             )
-            SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.4
-        """,
-        "embedding_near_dup_t09": """
-            WITH v AS (
-              SELECT vec_id, embedding FROM embeddings
-              UNION ALL
-              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
-            ),
-            pairs AS (
-              SELECT x.vec_id a, y.vec_id b,
-                list_sum(list_transform(list_zip(x.embedding, y.embedding),
-                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
-                sqrt(list_sum(list_transform(x.embedding,
-                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nx,
-                sqrt(list_sum(list_transform(y.embedding,
-                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS ny
-              FROM v x JOIN v y ON x.vec_id < y.vec_id
+            UNION ALL
+            SELECT a, b, 't09' AS regime FROM (
+              WITH v AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              ),
+              pairs AS (
+                SELECT x.vec_id a, y.vec_id b,
+                  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+                  sqrt(list_sum(list_transform(x.embedding,
+                           e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nx,
+                  sqrt(list_sum(list_transform(y.embedding,
+                           e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS ny
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+              )
+              SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.9
             )
-            SELECT a, b FROM pairs WHERE dot / (nx * ny) >= 0.9
         """,
         "lang_id": _lang_id_oracle_sql(),
-        "bpe_token_count": f"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '{BPE_RE}'))
-                     AS n_bpe
-            FROM documents
-        """,
         "fingerprint_dedup": f"""
             SELECT CAST(('0x' || substr(
                      md5(regexp_replace(trim(text), '{WS_RE}', ' ', 'g')), 1, 15))
@@ -1612,25 +1665,24 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS UNBOUNDED PRECEDING) AS seq
             FROM events
         """,
-        "semi_anti_joins": """
-            SELECT o_orderkey, 'building' AS side FROM orders o
+        "semi_anti_set_ops": """
+            SELECT o_orderkey AS row_key, 'building' AS side FROM orders o
             WHERE EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey
                             AND c.c_mktsegment = 'BUILDING')
             UNION ALL
-            SELECT o_orderkey, 'other' AS side FROM orders o
+            SELECT o_orderkey AS row_key, 'other' AS side FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey
                                 AND c.c_mktsegment = 'BUILDING')
-        """,
-        "set_ops": """
-            SELECT doc_id, lang, 'en_short' AS bucket FROM (
+            UNION ALL
+            SELECT doc_id AS row_key, 'en_short' AS side FROM (
               SELECT DISTINCT doc_id, lang FROM documents WHERE lang = 'en'
               INTERSECT
               SELECT DISTINCT doc_id, lang FROM documents WHERE n_chars < 300
             )
             UNION ALL
-            SELECT doc_id, lang, 'en_long' AS bucket FROM (
+            SELECT doc_id AS row_key, 'en_long' AS side FROM (
               SELECT doc_id, lang FROM documents WHERE lang = 'en'
               EXCEPT ALL
               SELECT doc_id, lang FROM documents WHERE n_chars < 300
@@ -1658,4 +1710,45 @@ def oracle_sql() -> dict[str, str]:
     # the incremental maintenance path must produce the SAME
     # assignment as the full closure — one oracle, two plans
     oracles["neardup_clusters_incremental"] = oracles["neardup_clusters"]
+    # the corpus-cleaning decision composes three ALREADY-VERIFIED
+    # oracles (near-dup closure, contamination spans, repetition
+    # signals) plus the quality score, then mirrors decide_corpus's
+    # span surgery with an unnest-based token-window cut
+    oracles["deduped_kept_corpus"] = f"""
+        WITH clusters AS ({oracles["neardup_clusters"]}),
+        spans AS ({oracles["contamination_spans"]}),
+        sig AS ({oracles["repetition_signals"]}),
+        qual AS ({oracles["quality_score"]}),
+        sp_docs AS (SELECT DISTINCT doc_id FROM spans),
+        surg AS (
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM (
+            SELECT d.doc_id, CAST(i.i - 1 AS BIGINT) AS pos, d.tk[i.i] AS tok
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '{WS_RE}') AS tk
+                  FROM documents
+                  WHERE doc_id IN (SELECT doc_id FROM sp_docs)) d,
+                 LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) AS i
+          ) t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = t.doc_id
+                              AND t.pos >= s.start_tok AND t.pos < s.end_tok)
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN c.is_canonical = 0 THEN 'duplicate'
+                    WHEN q.quality < 0.9 OR r.top_gram_frac > 0.08
+                      THEN 'quality'
+                    ELSE 'kept' END AS reason,
+               CAST(CASE WHEN sp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS was_trimmed,
+               CASE WHEN sp.doc_id IS NOT NULL THEN coalesce(g.clean_text, '')
+                    ELSE d.text END AS text
+        FROM documents d
+        JOIN clusters c ON c.doc_id = d.doc_id
+        JOIN sig r ON r.doc_id = d.doc_id
+        JOIN qual q ON q.doc_id = d.doc_id
+        LEFT JOIN sp_docs sp ON sp.doc_id = d.doc_id
+        LEFT JOIN surg g ON g.doc_id = d.doc_id
+    """
     return oracles

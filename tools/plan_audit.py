@@ -177,7 +177,7 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     "events_hourly_rollup": [
         ("partial aggregation before shuffle", _has("HashAggregate")),
     ],
-    "semi_anti_joins": [
+    "semi_anti_set_ops": [
         ("semi + anti forms, both broadcast on the filtered dim",
          lambda p: "LeftSemi" in p and "LeftAnti" in p),
     ],
@@ -222,8 +222,12 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
     "embedding_near_dup": [
         ("eps-grid candidate generation is an equi join", _equi_join),
     ],
-    "embedding_near_dup_t09": [
-        ("eps-grid candidate generation is an equi join", _equi_join),
+    "deduped_kept_corpus": [
+        # the whole decision is joins + per-row folds: no cartesian
+        # anywhere in the composed clusters/spans/signals plan
+        ("no cartesian product in the composed decision",
+         _absent("CartesianProduct")),
+        ("all-JVM decision (no python UDF)", _absent("PythonUDF")),
     ],
     "fingerprint_dedup": [
         ("all-JVM (no python UDF in the plan)", _absent("PythonUDF")),
@@ -268,10 +272,6 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          lambda p: _codegen(p) and "PythonUDF" not in p),
     ],
     "lang_id": [
-        ("all-JVM scalar pipeline (codegen, no python UDF)",
-         lambda p: _codegen(p) and "PythonUDF" not in p),
-    ],
-    "bpe_token_count": [
         ("all-JVM scalar pipeline (codegen, no python UDF)",
          lambda p: _codegen(p) and "PythonUDF" not in p),
     ],
