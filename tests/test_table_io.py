@@ -467,3 +467,47 @@ def test_expire_before_unsupported_stats_type_raises(spark, tmp_path_factory):
     tbl.append(rows, "mixed")
     with pytest.raises(TypeError, match="unsupported type"):
         tbl.expire_before(spark, 7)  # cutoff inside [0, 13.5]
+
+
+def test_empty_runs_tracked_and_survive_compaction(spark, tmp_path):
+    """Zero-row appends are recorded in the manifest's empty_runs (no
+    data scan — footer counts only) and content_runs() names exactly the
+    runs that hold rows, stably across compaction."""
+    from xs_vlm_ocr_spark.table_io import CheckpointedTable
+
+    t = CheckpointedTable(str(tmp_path / "tcr"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    t.append(df, "r1")
+    t.append(df.filter("id < 0"), "r2")       # zero rows, unbucketed
+    t.append(df.filter("id >= 3"), "r3")
+    assert t.all_time_runs() == {"r1", "r2", "r3"}
+    assert t.content_runs() == {"r1", "r3"}
+    assert t.read(spark).count() == 7
+
+    t.compact(spark)
+    assert t.content_runs() == {"r1", "r3"}   # bookkeeping survives
+    assert "r2" not in t.content_runs()
+    assert t.read(spark).count() == 7
+
+    # bucketed shape: a zero-row run writes NO dir at all
+    b = CheckpointedTable(str(tmp_path / "tcr_b"), bucket_key="id")
+    b.append(df, "b1")
+    b.append(df.filter("id < 0"), "b2")
+    assert b.content_runs() == {"b1"}
+    assert b.all_time_runs() == {"b1", "b2"}
+
+
+def test_replace_refuses_committed_run_id(spark, tmp_path):
+    """Rewriting the LIVE snapshot's dir in place would corrupt the
+    table on a mid-write crash — replace() must refuse the id loudly
+    (content-addressed callers skip the rewrite instead)."""
+    import pytest
+
+    from xs_vlm_ocr_spark.table_io import CheckpointedTable
+
+    t = CheckpointedTable(str(tmp_path / "rg"))
+    df = spark.range(3).selectExpr("id")
+    t.replace(df, "s1")
+    with pytest.raises(ValueError, match="committed snapshot"):
+        t.replace(df, "s1")
+    assert t.read(spark).count() == 3  # untouched

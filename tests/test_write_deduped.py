@@ -179,3 +179,51 @@ def test_quality_flags_require_signals(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="compute_signals"):
         job.write_deduped(spark, str(tmp_path_factory.mktemp("d")),
                           min_quality=0.5)
+
+
+def test_snapshot_id_stable_across_empty_rerun(spark, tmp_path_factory):
+    """A rerun over an already-ingested corpus commits a ZERO-ROW results
+    run; the decision over identical content must mint the IDENTICAL
+    deterministic snapshot id (keyed on content_runs, not all_time_runs
+    — caught by tools/rehearse_clean_corpus.py on the CLI surface)."""
+    out = str(tmp_path_factory.mktemp("wd_idem"))
+    dest = str(tmp_path_factory.mktemp("wd_idem_dest"))
+    job = ExtractionJob(out)
+    docs = _docs(spark, [("a", CLEAN_1), ("b", CLEAN_2)])
+    job.run(spark, docs)
+    c1 = job.write_deduped(spark, dest)
+
+    job.run(spark, docs)  # zero new docs -> zero-row results run
+    assert len(job.results.all_time_runs()) == 2
+    assert len(job.results.content_runs()) == 1
+    c2 = job.write_deduped(spark, dest)
+    assert c2 == c1  # snapshot id AND counts
+
+
+def test_meta_crash_heals_without_rewrite(spark, tmp_path_factory):
+    """Crash window between the snapshot commit and its meta stamp:
+    write_deduped finds the committed snapshot with stale meta,
+    re-derives the counts with one aggregate, and never rewrites the
+    live snapshot (replace() would refuse the committed id)."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("wd_heal"))
+    dest = str(tmp_path_factory.mktemp("wd_heal_dest"))
+    job = ExtractionJob(out)
+    job.run(spark, _docs(spark, [("a", CLEAN_1), ("b", CLEAN_2)]))
+    c1 = job.write_deduped(spark, dest)
+
+    tbl = CheckpointedTable(dest)
+    tbl.set_meta({})  # simulate the lost-meta crash state
+    files = {
+        os.path.join(r, f) for r, _d, fs in os.walk(os.path.join(dest, "data"))
+        for f in fs
+    }
+    c2 = job.write_deduped(spark, dest)
+    assert c2 == c1
+    assert tbl.get_meta() == c1  # meta healed
+    after = {
+        os.path.join(r, f) for r, _d, fs in os.walk(os.path.join(dest, "data"))
+        for f in fs
+    }
+    assert after == files  # no rewrite of the committed snapshot

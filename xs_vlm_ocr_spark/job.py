@@ -79,6 +79,21 @@ def stamp_results(results: DataFrame, run_id: str, committed_at: datetime,
     )
 
 
+def _canonical_pairs(pairs: DataFrame) -> DataFrame:
+    """Canonical (a < b) orientation for committed near-dup pairs. The
+    within-increment emitter already orders pairs, but the stored-index
+    probe emits (new_doc, indexed_doc) — without this, the SAME corpus
+    ingested as one batch vs. several increments commits the same
+    undirected pair with different orientations, and batch/stream
+    convergence (tests/test_streaming.py) would only hold up to
+    symmetry instead of bit-for-bit. Pure projection, zero shuffle."""
+    return pairs.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        "est_jaccard",
+    )
+
+
 class ExtractionJob:
     def __init__(self, out_dir: str, model_name: str = DEFAULT_MODEL,
                  skew_sample_fraction: float = 0.05,
@@ -537,7 +552,7 @@ class ExtractionJob:
                 self._committed_corpus(spark), "full_text", "doc_id",
                 num_perm, bands, gram_n, persist=True,
             )
-            pairs = (
+            pairs = _canonical_pairs(
                 minhash_pairs_from_index(fresh, num_perm, bands, gram_n)
                 .filter(F.col("est_jaccard") >= self.near_dup_threshold)
             )
@@ -564,8 +579,8 @@ class ExtractionJob:
                         n=gram_n, probe_rows=fresh,
                     )
                 )
-            pairs = pairs.filter(
-                F.col("est_jaccard") >= self.near_dup_threshold
+            pairs = _canonical_pairs(
+                pairs.filter(F.col("est_jaccard") >= self.near_dup_threshold)
             ).withColumn("run_id", F.lit(r))
             if r not in self.neardup_pairs.all_time_runs():
                 self.neardup_pairs.append(pairs, r)
@@ -869,9 +884,12 @@ class ExtractionJob:
 
         The kept corpus lands at ``dest`` as an atomic single-snapshot
         CheckpointedTable (doc_id=content_hash, text, was_trimmed) with
-        a DETERMINISTIC run id (md5 of source runs + decision params) —
-        re-running the same decision over the same corpus rewrites
-        bit-identical content instead of minting a new state. Per-reason
+        a DETERMINISTIC run id (md5 of the results table's CONTENT runs
+        + decision params) — re-running the same decision over the same
+        corpus recognizes the committed snapshot and SKIPS the rewrite
+        entirely (zero-row reruns and compactions don't change the id;
+        a crash between the snapshot commit and its meta stamp heals by
+        re-deriving the counts with one aggregate). Per-reason
         drop counts are returned, appended to the job's LINEAGE table
         (stage ``dedup:*``, one row per reason — the reference persists
         every derived counter it computes, HistoryManager.cpp:275-328)
@@ -903,53 +921,81 @@ class ExtractionJob:
         if self.compute_signals:
             self.sync_signals(spark)
 
-        clusters = (self.near_dup_clusters(spark)
-                    if self.near_dup_threshold is not None else None)
-        spans = (self.read_contamination(spark)
-                 if self.heldout_dir is not None else None)
-        sig = self.read_signals(spark) if quality_gated else None
-        obs = Observation("write_deduped")
-        decided = decide_corpus(
-            self._committed_corpus(spark),
-            clusters=clusters, spans=spans, signals=sig,
-            drop_contaminated=drop_contaminated,
-            min_quality=min_quality,
-            max_dup_gram_frac=max_dup_gram_frac,
-            max_top_gram_frac=max_top_gram_frac,
-        ).withColumnsRenamed(
-            {"reason": "_reason", "was_trimmed": "_trimmed"}
-        ).observe(
-            obs,
+        import hashlib
+
+        # keyed on CONTENT runs (all_time_runs minus zero-row runs minus
+        # rewrite snapshots): a routine rerun over an already-ingested
+        # corpus commits a zero-row results run, and the decision over
+        # identical content must mint the identical snapshot (caught by
+        # tools/rehearse_clean_corpus.py, which asserts the rerun is
+        # bit-idempotent end to end)
+        params = (sorted(self.results.content_runs()), drop_contaminated,
+                  min_quality, max_dup_gram_frac, max_top_gram_frac,
+                  self.near_dup_threshold, self.heldout_dir is not None)
+        snap = "dedup-" + hashlib.md5(repr(params).encode()).hexdigest()[:12]
+        out = CheckpointedTable(dest)
+
+        def build_decided():
+            clusters = (self.near_dup_clusters(spark)
+                        if self.near_dup_threshold is not None else None)
+            spans = (self.read_contamination(spark)
+                     if self.heldout_dir is not None else None)
+            sig = self.read_signals(spark) if quality_gated else None
+            return decide_corpus(
+                self._committed_corpus(spark),
+                clusters=clusters, spans=spans, signals=sig,
+                drop_contaminated=drop_contaminated,
+                min_quality=min_quality,
+                max_dup_gram_frac=max_dup_gram_frac,
+                max_top_gram_frac=max_top_gram_frac,
+            ).withColumnsRenamed({"reason": "_reason",
+                                  "was_trimmed": "_trimmed"})
+
+        count_exprs = [
             F.count(F.lit(1)).alias("total"),
             F.sum((F.col("_reason") == "duplicate").cast("long")).alias("duplicate"),
             F.sum((F.col("_reason") == "contaminated").cast("long")).alias("contaminated"),
             F.sum((F.col("_reason") == "quality").cast("long")).alias("quality"),
             F.sum((F.col("_reason").isNull() & F.col("_trimmed")).cast("long")).alias("trimmed"),
-        )
-        kept = (
-            decided.filter(F.col("_reason").isNull())
-            .select("doc_id", "text", F.col("_trimmed").alias("was_trimmed"))
-        )
-        import hashlib
+        ]
 
-        params = (sorted(self.results.all_time_runs()), drop_contaminated,
-                  min_quality, max_dup_gram_frac, max_top_gram_frac,
-                  self.near_dup_threshold, self.heldout_dir is not None)
-        snap = "dedup-" + hashlib.md5(repr(params).encode()).hexdigest()[:12]
-        out = CheckpointedTable(dest)
-        out.replace(kept, snap)  # atomic flip; the write drives obs
-        m = obs.get
-        counts = {
-            "snapshot": snap,
-            "docs_in": m["total"] or 0,
-            "kept": (m["total"] or 0) - sum(
-                m[k] or 0 for k in ("duplicate", "contaminated", "quality")),
-            "dropped_duplicate": m["duplicate"] or 0,
-            "dropped_contaminated": m["contaminated"] or 0,
-            "dropped_quality": m["quality"] or 0,
-            "trimmed_docs": m["trimmed"] or 0,
-        }
-        out.set_meta(counts)  # self-describing snapshot (informational)
+        def counts_of(m: dict) -> dict:
+            return {
+                "snapshot": snap,
+                "docs_in": m["total"] or 0,
+                "kept": (m["total"] or 0) - sum(
+                    m[k] or 0
+                    for k in ("duplicate", "contaminated", "quality")),
+                "dropped_duplicate": m["duplicate"] or 0,
+                "dropped_contaminated": m["contaminated"] or 0,
+                "dropped_quality": m["quality"] or 0,
+                "trimmed_docs": m["trimmed"] or 0,
+            }
+
+        if snap in out.committed_runs():
+            # same content runs + same params => bit-identical decision:
+            # NOTHING to rewrite. (replace() refuses an already-committed
+            # id outright — overwriting the live snapshot's dir before
+            # the manifest rename would break commit atomicity.)
+            counts = out.get_meta()
+            if counts.get("snapshot") != snap:
+                # crash landed between replace() and set_meta(): the
+                # snapshot is committed but its counts were lost — one
+                # aggregate re-derives them, no rewrite
+                counts = counts_of(
+                    build_decided().agg(*count_exprs).first().asDict())
+                out.set_meta(counts)
+        else:
+            obs = Observation("write_deduped")
+            decided = build_decided().observe(obs, *count_exprs)
+            kept = (
+                decided.filter(F.col("_reason").isNull())
+                .select("doc_id", "text",
+                        F.col("_trimmed").alias("was_trimmed"))
+            )
+            out.replace(kept, snap)  # atomic flip; the write drives obs
+            counts = counts_of(obs.get)
+            out.set_meta(counts)  # self-describing snapshot
         if snap not in self.lineage.all_time_runs():
             rows = [
                 (snap, f"dedup:{k}", -1, counts["docs_in"],

@@ -191,7 +191,8 @@ class CheckpointedTable:
             )
 
     def _write_manifest(self, runs: list[str], stats: dict,
-                        meta: dict | None = None) -> None:
+                        meta: dict | None = None,
+                        mark_empty: tuple[str, ...] = ()) -> None:
         """The ONLY commit point: write-temp + atomic rename.
 
         ``ancestry`` tracks every run id EVER committed that a rewrite
@@ -208,9 +209,16 @@ class CheckpointedTable:
         snapshots and any row-level surgery (the previous home for
         derived-snapshot provenance was a constant per-row stamp column,
         which a zero-row snapshot loses and every rewrite re-parses and
-        re-stamps row-wide). None preserves the committed meta."""
+        re-stamps row-wide). None preserves the committed meta.
+
+        ``empty_runs``: run ids committed with ZERO data rows (a rerun
+        of an already-ingested batch is the routine producer). Like
+        ancestry it only ever grows and survives every rewrite — it is
+        what lets :meth:`content_runs` name the runs that actually hold
+        rows without touching data files."""
         old = self._load_manifest() or {}
         prev = set(old.get("runs", [])) | set(old.get("ancestry", []))
+        empty = set(old.get("empty_runs", [])) | set(mark_empty)
         if meta is None:
             meta = old.get("meta", {})
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
@@ -219,7 +227,8 @@ class CheckpointedTable:
         with open(tmp, "w") as f:
             json.dump({"runs": runs, "layout": self._layout(),
                        "stats": stats, "meta": meta,
-                       "ancestry": sorted(prev - set(runs))}, f)
+                       "ancestry": sorted(prev - set(runs)),
+                       "empty_runs": sorted(empty)}, f)
         os.replace(tmp, self.manifest_path)  # atomic commit point
 
     def get_meta(self) -> dict:
@@ -246,7 +255,8 @@ class CheckpointedTable:
 
     def _commit(self, run_id: str, run_stat: dict | None = None,
                 also_mark: list[str] | tuple[str, ...] = (),
-                meta: dict | None = None) -> None:
+                meta: dict | None = None,
+                mark_empty: tuple[str, ...] = ()) -> None:
         runs = self.committed_runs()
         for r in (run_id, *also_mark):
             if r not in runs:
@@ -254,7 +264,38 @@ class CheckpointedTable:
         stats = self.run_stats()
         if run_stat is not None:
             stats[run_id] = run_stat
-        self._write_manifest(runs, stats, meta=meta)
+        self._write_manifest(runs, stats, meta=meta, mark_empty=mark_empty)
+
+    def _run_holds_rows(self, run_id: str) -> bool:
+        """Whether the just-written run dir holds any data row — parquet
+        FOOTER counts only, no data scan (a zero-row bucketed write
+        creates no dir at all; an unbucketed empty write creates
+        schema-only part files whose footers say num_rows=0)."""
+        d = self.run_dir(run_id)
+        if not os.path.isdir(d):
+            return False
+        import pyarrow.parquet as pq
+
+        return any(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows > 0
+            for root, _dirs, files in os.walk(d)
+            for f in files if f.endswith(".parquet")
+        )
+
+    def content_runs(self) -> set[str]:
+        """Run ids that contributed actual rows: ``all_time_runs`` minus
+        the committed-empty set minus rewrite snapshots (compact/expire/
+        migrate re-arrange committed content, they never add any; their
+        original ids stay in ancestry). The stable CONTENT key for
+        consumers that derive state identity from "which data went in"
+        (e.g. the deterministic write_deduped snapshot id) — a routine
+        zero-new-docs rerun mints a run id, and a compaction mints a
+        rewrite id, but neither must look like new content."""
+        m = self._load_manifest() or {}
+        return {
+            r for r in self.all_time_runs()
+            if not r.startswith(REWRITE_PREFIXES)
+        } - set(m.get("empty_runs", []))
 
     def _compute_run_stat(self, spark: SparkSession, run_id: str,
                           stats_bounds=None) -> dict | None:
@@ -373,7 +414,9 @@ class CheckpointedTable:
                 )
             self._bucketed_write(df, run_id)
         stat = self._compute_run_stat(df.sparkSession, run_id, stats_bounds)
-        self._commit(run_id, stat, also_mark=also_mark, meta=meta)
+        mark_empty = () if self._run_holds_rows(run_id) else (run_id,)
+        self._commit(run_id, stat, also_mark=also_mark, meta=meta,
+                     mark_empty=mark_empty)
 
     def _catalog_schema_mismatch(self, spark: SparkSession,
                                  schema: T.StructType) -> str | None:
@@ -462,9 +505,26 @@ class CheckpointedTable:
         appends only add new run_id partitions, but is fragile against
         stricter self-insert checks or a mid-write re-scan). Build the
         rewrite plan from ``read_raw()`` instead — plain parquet over
-        the committed run dirs, the same trick ``compact`` uses."""
+        the committed run dirs, the same trick ``compact`` uses.
+
+        REFUSES a run_id that is already committed: the rewrite targets
+        that id's run dir, so overwriting the LIVE snapshot's files
+        before the manifest rename would turn a mid-write crash into
+        committed-manifest-points-at-partial-data — the one sequence
+        that breaks the write-then-flip discipline. Content-addressed
+        callers (deterministic snapshot ids) must skip the rewrite when
+        the id is already committed (same id == same content); see
+        job.write_deduped, whose idempotent rerun first hit this."""
         self.check_layout()
-        old_runs = [r for r in self.committed_runs() if r != run_id]
+        if run_id in self.committed_runs():
+            raise ValueError(
+                f"replace() on {self.path}: run_id '{run_id}' is the "
+                "committed snapshot — rewriting its dir in place would "
+                "corrupt the live table on a mid-write crash. Skip the "
+                "rewrite (content-addressed ids: same id == same "
+                "content) or mint a fresh id."
+            )
+        old_runs = self.committed_runs()
         if self.bucket_key is None:
             df.write.mode("overwrite").parquet(self.run_dir(run_id))
         else:
