@@ -227,3 +227,39 @@ def test_meta_crash_heals_without_rewrite(spark, tmp_path_factory):
         for f in fs
     }
     assert after == files  # no rewrite of the committed snapshot
+
+
+def test_read_clean_view_equals_snapshot(decided, spark):
+    """read_clean (the zero-copy view) returns EXACTLY the rows
+    write_deduped materialized for the same parameters — the two
+    surfaces share one decision builder and must never fork."""
+    job, dest, counts, rows = decided
+    view = {r["doc_id"]: (r["text"], r["was_trimmed"])
+            for r in job.read_clean(spark, min_quality=0.5).collect()}
+    assert view == rows
+
+
+def test_read_clean_pushes_id_filter_to_results_scan(decided, spark):
+    """The point of the view at scale: a consumer's doc_id filter must
+    reach the results parquet scan as a pushed filter (the snapshot
+    would serve it too, but the view does it with zero bytes written) —
+    and a point lookup returns the same decided row."""
+    job, dest, counts, rows = decided
+    some_id = next(iter(rows))
+    got = job.read_clean(spark, min_quality=0.5).filter(
+        F.col("doc_id") == some_id)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters: [" in final
+    # the content_hash point filter reaches at least one parquet scan
+    assert "IsNotNull(content_hash), EqualTo(content_hash," in final \
+        or "EqualTo(content_hash," in final
+    row = got.collect()
+    assert len(row) == 1
+    assert (row[0]["text"], row[0]["was_trimmed"]) == rows[some_id]
+
+
+def test_read_clean_requires_signals_for_quality(spark, tmp_path_factory):
+    job = ExtractionJob(str(tmp_path_factory.mktemp("rc_guard")))
+    with pytest.raises(ValueError, match="compute_signals"):
+        job.read_clean(spark, min_quality=0.5)

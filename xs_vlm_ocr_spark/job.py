@@ -857,6 +857,95 @@ class ExtractionJob:
         # keep-canonical dedup pass drop every surviving member
         return finalize_canonical(joined, "doc_id")
 
+    def _quality_gated(self, min_quality, max_dup_gram_frac,
+                       max_top_gram_frac) -> bool:
+        gated = any(x is not None for x in (
+            min_quality, max_dup_gram_frac, max_top_gram_frac))
+        if gated and not self.compute_signals:
+            raise ValueError(
+                "quality thresholds need the signals table: construct the "
+                "job with compute_signals=True (CLI --signals)"
+            )
+        return gated
+
+    def _decided_corpus(self, spark: SparkSession, *,
+                        drop_contaminated: bool,
+                        min_quality: float | None,
+                        max_dup_gram_frac: float | None,
+                        max_top_gram_frac: float | None,
+                        quality_gated: bool) -> DataFrame:
+        """The cleaning decision over the COMMITTED tables — one row per
+        committed doc: (doc_id, text, reason, was_trimmed). The single
+        decision builder behind :meth:`read_clean` (zero-copy view) and
+        :meth:`write_deduped` (materialized snapshot); both therefore
+        apply :func:`~xs_vlm_ocr_spark.operators.dedup.decide_corpus`
+        verbatim and cannot fork."""
+        from xs_vlm_ocr_spark.operators.dedup import decide_corpus
+
+        clusters = (self.near_dup_clusters(spark)
+                    if self.near_dup_threshold is not None else None)
+        spans = (self.read_contamination(spark)
+                 if self.heldout_dir is not None else None)
+        sig = self.read_signals(spark) if quality_gated else None
+        return decide_corpus(
+            self._committed_corpus(spark),
+            clusters=clusters, spans=spans, signals=sig,
+            drop_contaminated=drop_contaminated,
+            min_quality=min_quality,
+            max_dup_gram_frac=max_dup_gram_frac,
+            max_top_gram_frac=max_top_gram_frac,
+        )
+
+    def read_clean(self, spark: SparkSession, *,
+                   drop_contaminated: bool = False,
+                   min_quality: float | None = None,
+                   max_dup_gram_frac: float | None = None,
+                   max_top_gram_frac: float | None = None,
+                   sync: bool = False) -> DataFrame:
+        """The cleaned corpus as a ZERO-COPY VIEW — (doc_id, text,
+        was_trimmed), identical rows to what :meth:`write_deduped` with
+        the same parameters materializes (pinned by
+        tests/test_write_deduped.py), without writing a byte.
+
+        This is the scale-correct DEFAULT consumption path: a
+        materialized snapshot duplicates every kept text byte of the
+        results store (at 100 TB, a second 100 TB write per decision),
+        while the view joins the narrow decision tables (clusters,
+        spans, signals — each orders of magnitude smaller than the text
+        they describe, broadcast-eligible) against the bucketed results
+        store at read time; Catalyst pushes any consumer filter/
+        projection straight into the results scan. Use
+        :meth:`write_deduped` when a frozen, self-describing corpus
+        ARTIFACT is required (an export handed to a training run, with
+        per-reason counts in lineage); use ``read_clean`` to feed
+        anything that re-plans per read — sampling, stats, further
+        Spark stages.
+
+        ``sync=False`` (default) reads committed state as-is — a pure
+        read, safe on a read-only replica of the table dirs. Pass
+        ``sync=True`` to first heal any crashed derived-table suffix
+        (same discipline as :meth:`write_deduped`; requires write
+        access). After a normal :meth:`run` the tables are already in
+        step and the flag makes no difference."""
+        quality_gated = self._quality_gated(
+            min_quality, max_dup_gram_frac, max_top_gram_frac)
+        if sync:
+            if self.near_dup_threshold is not None:
+                self.sync_near_dup_index(spark)
+            if self.heldout_dir is not None:
+                self.sync_contamination(spark)
+            if self.compute_signals:
+                self.sync_signals(spark)
+        decided = self._decided_corpus(
+            spark, drop_contaminated=drop_contaminated,
+            min_quality=min_quality,
+            max_dup_gram_frac=max_dup_gram_frac,
+            max_top_gram_frac=max_top_gram_frac,
+            quality_gated=quality_gated,
+        )
+        return (decided.filter(F.col("reason").isNull())
+                .select("doc_id", "text", "was_trimmed"))
+
     def write_deduped(self, spark: SparkSession, dest: str, *,
                       drop_contaminated: bool = False,
                       min_quality: float | None = None,
@@ -900,18 +989,13 @@ class ExtractionJob:
         narrower than the text they describe; drop counting is an
         Observation (map-side accumulators on the single write pass,
         no second scan of the corpus); the span cut is a per-row array
-        fold, zero extra shuffle."""
+        fold, zero extra shuffle. Consumers that only need to READ the
+        cleaned corpus should prefer :meth:`read_clean` — the same
+        decision as a zero-copy view."""
         from pyspark.sql import Observation
 
-        from xs_vlm_ocr_spark.operators.dedup import decide_corpus
-
-        quality_gated = any(x is not None for x in (
-            min_quality, max_dup_gram_frac, max_top_gram_frac))
-        if quality_gated and not self.compute_signals:
-            raise ValueError(
-                "quality thresholds need the signals table: construct the "
-                "job with compute_signals=True (CLI --signals)"
-            )
+        quality_gated = self._quality_gated(
+            min_quality, max_dup_gram_frac, max_top_gram_frac)
         # bring every decision input in step first (no-ops when run()
         # already synced; heals a crashed suffix when called standalone)
         if self.near_dup_threshold is not None:
@@ -936,18 +1020,12 @@ class ExtractionJob:
         out = CheckpointedTable(dest)
 
         def build_decided():
-            clusters = (self.near_dup_clusters(spark)
-                        if self.near_dup_threshold is not None else None)
-            spans = (self.read_contamination(spark)
-                     if self.heldout_dir is not None else None)
-            sig = self.read_signals(spark) if quality_gated else None
-            return decide_corpus(
-                self._committed_corpus(spark),
-                clusters=clusters, spans=spans, signals=sig,
-                drop_contaminated=drop_contaminated,
+            return self._decided_corpus(
+                spark, drop_contaminated=drop_contaminated,
                 min_quality=min_quality,
                 max_dup_gram_frac=max_dup_gram_frac,
                 max_top_gram_frac=max_top_gram_frac,
+                quality_gated=quality_gated,
             ).withColumnsRenamed({"reason": "_reason",
                                   "was_trimmed": "_trimmed"})
 
