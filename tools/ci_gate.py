@@ -84,9 +84,36 @@ def leak_grep() -> bool:
     return not bad
 
 
+def contract_window() -> bool:
+    """The external driver verifies at most 50 queries per round —
+    anything registered past 50 silently falls outside the
+    value-checked window (round-6 verdict Wrong #2). Keep the contract
+    CONSOLIDATED instead of letting it creep: this leg fails the gate
+    the moment registration #51 lands, and checks queries/oracles stay
+    in 1:1 correspondence while it's at it."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    bad: list[str] = []
+    if len(qs) > 50:
+        bad.append(f"{len(qs)} queries registered — the driver checks "
+                   "only the first 50; consolidate")
+    for k in oracles.keys() - qs.keys():
+        bad.append(f"oracle '{k}' has no queries() entry")
+    for k in qs.keys() - oracles.keys():
+        bad.append(f"query '{k}' has no oracle (driver records a weaker "
+                   "rows-only check)")
+    for b in bad:
+        print(f"      CONTRACT {b}", flush=True)
+    print(f"[{'PASS' if not bad else 'FAIL'}] contract window "
+          f"({len(qs)} queries, {len(oracles)} oracles)", flush=True)
+    return not bad
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
-    legs = [leak_grep()]
+    legs = [leak_grep(), contract_window()]
     legs.append(run_leg(
         "plan audit", [sys.executable, "tools/plan_audit.py"],
         r"0 failures"))
