@@ -84,6 +84,47 @@ def leak_grep() -> bool:
     return not bad
 
 
+def dist_fresh() -> bool:
+    """dist/xs_vlm_ocr_spark.zip is the deployment artifact (spark-submit
+    --py-files), built on demand by tools/package.py and gitignored. A
+    previously-built zip left sitting in dist/ ships old code on the next
+    submit — or silently drops a module added since the rebuild
+    (components.py went missing this way for five sessions: every cluster
+    submit would ImportError at the first near-dup cluster sync while
+    local tests stayed green). Absent zip = pass (nothing to ship);
+    present zip must byte-match the tree."""
+    import hashlib
+    import zipfile
+
+    out = os.path.join(REPO, "dist", "xs_vlm_ocr_spark.zip")
+    bad: list[str] = []
+    if not os.path.exists(out):
+        print("[PASS] dist artifact (not built; tools/package.py builds "
+              "on demand)", flush=True)
+        return True
+    z = zipfile.ZipFile(out)
+    names = set(z.namelist())
+    for info in z.infolist():
+        p = os.path.join(REPO, info.filename)
+        if not os.path.exists(p):
+            bad.append(f"{info.filename}: in zip, deleted from tree")
+        elif (hashlib.md5(open(p, "rb").read()).digest()
+              != hashlib.md5(z.read(info)).digest()):
+            bad.append(f"{info.filename}: zip content stale")
+    pkg = os.path.join(REPO, "xs_vlm_ocr_spark")
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for fn in files:
+            rel = os.path.relpath(os.path.join(root, fn), REPO)
+            if fn.endswith(".py") and rel.replace(os.sep, "/") not in names:
+                bad.append(f"{rel}: missing from zip")
+    for b in bad:
+        print(f"      DIST {b} — run: python tools/package.py", flush=True)
+    print(f"[{'PASS' if not bad else 'FAIL'}] dist artifact "
+          f"({'fresh' if not bad else f'{len(bad)} stale'})", flush=True)
+    return not bad
+
+
 def contract_window() -> bool:
     """The external driver verifies at most 50 queries per round —
     anything registered past 50 silently falls outside the
@@ -113,7 +154,7 @@ def contract_window() -> bool:
 
 def main() -> None:
     fast = "--fast" in sys.argv
-    legs = [leak_grep(), contract_window()]
+    legs = [leak_grep(), dist_fresh(), contract_window()]
     legs.append(run_leg(
         "plan audit", [sys.executable, "tools/plan_audit.py"],
         r"0 failures"))
