@@ -344,6 +344,13 @@ RUN_HISTORY: list[dict] = [
     {"run": "2026-08-18 f", "commit": "97feb22", "ceiling": 0.764,
      "pair28": (0.895, 1.042), "real82": (0.301, 0.308),
      "il82": (0.503, 0.519), "burn": 0.822, "noop": 0.328},
+    # run g: launched at 1-min loadavg 0.07, the quietest window of the
+    # build — second consecutive raw 2->8 PASS; 8->32 real back in the
+    # a-c band (f's 0.301 acquitted as co-tenant load); new absolute
+    # bests (interleave 227.4k docs/s @32, corpus pair 51.5k @32).
+    {"run": "2026-08-18 g", "commit": "8164098", "ceiling": 0.774,
+     "pair28": (0.876, 0.922), "real82": (0.469, 0.488),
+     "il82": (0.540, 0.558), "burn": 0.582, "noop": 0.211},
 ]
 
 
