@@ -263,3 +263,28 @@ def test_read_clean_requires_signals_for_quality(spark, tmp_path_factory):
     job = ExtractionJob(str(tmp_path_factory.mktemp("rc_guard")))
     with pytest.raises(ValueError, match="compute_signals"):
         job.read_clean(spark, min_quality=0.5)
+
+
+def test_write_deduped_on_never_run_job(spark, tmp_path_factory):
+    """A job with ZERO committed results (never ran, or a read-only
+    mirror of an empty deployment): the decision over the empty corpus
+    must commit a zero-row snapshot with all-zero counts — not hang on
+    the drop-count Observation (empty-relation propagation may rewrite
+    the observed subtree; run() guards its own Observation against
+    exactly that) — and read_clean must return an empty frame with the
+    contract columns. The rerun takes the committed-snapshot fast path
+    and mints the same id."""
+    out = str(tmp_path_factory.mktemp("wd_never"))
+    dest = str(tmp_path_factory.mktemp("wd_never_dest"))
+    job = ExtractionJob(out)
+    counts = job.write_deduped(spark, dest)
+    assert counts["docs_in"] == 0 and counts["kept"] == 0
+    assert counts["dropped_duplicate"] == 0
+    assert counts["dropped_contaminated"] == 0
+    assert counts["dropped_quality"] == 0
+
+    view = job.read_clean(spark)
+    assert view.columns == ["doc_id", "text", "was_trimmed"]
+    assert view.count() == 0
+
+    assert job.write_deduped(spark, dest) == counts  # fast-path rerun
