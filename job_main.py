@@ -8,7 +8,13 @@
 Reads the interleaved docs table, runs the resumable extraction job
 (anti-join against the committed snapshot -> skew-aware repartition ->
 vectorized extraction -> results + lineage commit), prints a one-line
-JSON summary.
+JSON summary. With ``--stream`` the input dir is a Structured Streaming
+file source instead: each micro-batch takes the SAME run path (one
+committed run per batch, every derived stage synced), the availableNow
+trigger drains currently-visible files then exits, and the checkpoint
+makes the next invocation ingest only files that arrived since — the
+cron/daemon ingest shape, converging on bit-identical committed state
+to batch ingest (tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -80,6 +86,19 @@ def main() -> None:
     ap.add_argument("--max-top-gram-frac", type=float, default=None,
                     help="drop docs whose top gram covers more than this "
                          "fraction (Gopher; requires --signals)")
+    ap.add_argument("--stream", action="store_true",
+                    help="treat --input as a STREAMING source directory: "
+                         "ingest via Structured Streaming (foreachBatch -> "
+                         "the same resumable run per micro-batch, "
+                         "availableNow trigger — drain what's there, then "
+                         "exit). The checkpoint makes a re-invocation ingest "
+                         "only files that arrived since the last one; every "
+                         "derived stage (--near-dup-threshold, --heldout, "
+                         "--signals) syncs per micro-batch, converging on "
+                         "the same committed state as batch ingest")
+    ap.add_argument("--stream-checkpoint", default=None, metavar="DIR",
+                    help="streaming source-offset checkpoint dir "
+                         "(default: <output>/stream_checkpoint)")
     ap.add_argument("--compact-after", type=int, default=None,
                     help="compaction policy: after the run commits, merge any "
                          "output table holding more than N committed runs "
@@ -100,6 +119,15 @@ def main() -> None:
             args.drop_contaminated or any(x is not None for x in quality_flags)):
         ap.error("--drop-contaminated / quality thresholds only apply with "
                  "--write-deduped")
+    if args.stream and args.run_id is not None:
+        ap.error("--stream mints one run id per micro-batch "
+                 "(stream-<epoch>); --run-id only applies to batch mode")
+    if args.stream and args.replay_hits:
+        ap.error("--replay-hits is the interactive batch hit path; under "
+                 "--stream a redelivered micro-batch would re-emit hit rows "
+                 "on every restart")
+    if args.stream_checkpoint is not None and not args.stream:
+        ap.error("--stream-checkpoint requires --stream")
 
     from pyspark.sql import SparkSession
 
@@ -115,7 +143,6 @@ def main() -> None:
     # recency ordering (cache_hits / latest_per_key order by ts DESC)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    docs = spark.read.parquet(args.input)
     job = ExtractionJob(args.output, model_name=args.model,
                         timeout_ms=args.timeout_ms, source=args.source,
                         replay_hits=args.replay_hits,
@@ -123,20 +150,54 @@ def main() -> None:
                         heldout_dir=args.heldout,
                         contamination_n=args.contamination_n,
                         compute_signals=args.signals)
-    run_id = job.run(spark, docs, run_id=args.run_id,
-                     target_partitions=args.partitions,
-                     compact_after=args.compact_after)
+    if args.stream:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from xs_vlm_ocr_spark.streaming.incremental import (
+            start_incremental_extraction,
+        )
+
+        before = job.results.all_time_runs()
+        ckpt = args.stream_checkpoint or os.path.join(
+            args.output, "stream_checkpoint"
+        )
+        q = start_incremental_extraction(
+            spark, args.input, job, ckpt,
+            run_kwargs={"target_partitions": args.partitions,
+                        "compact_after": args.compact_after},
+        )
+        q.awaitTermination()
+        # new INGEST runs only (a compact_after policy firing mid-stream
+        # mints rewrite snapshot ids; they are not micro-batches)
+        run_ids = sorted(r for r in job.results.all_time_runs() - before
+                         if r.startswith("stream-"))
+        lineage_pred = F.col("run_id").isin(run_ids)
+    else:
+        docs = spark.read.parquet(args.input)
+        run_ids = [job.run(spark, docs, run_id=args.run_id,
+                           target_partitions=args.partitions,
+                           compact_after=args.compact_after)]
+        lineage_pred = f"run_id = '{run_ids[0]}'"
 
     results = job.read_results(spark)
-    lineage = job.read_lineage(spark).filter(f"run_id = '{run_id}'")
-    stats = lineage.groupBy().sum("docs_in", "docs_out", "span_count", "wall_ms").first()
+    lineage = job.read_lineage(spark)  # None iff nothing ever committed
+    stats = (
+        lineage.filter(lineage_pred)
+        .groupBy().sum("docs_in", "docs_out", "span_count", "wall_ms").first()
+        if lineage is not None else (None, None, None, None)
+    )
     summary = {
-        "run_id": run_id,
+        "run_id": run_ids[0] if len(run_ids) == 1 else None,
         "total_results": results.count() if results is not None else 0,
         "docs_in": stats[0] or 0,
         "docs_out": stats[1] or 0,
         "span_count": stats[2] or 0,
     }
+    if args.stream:
+        summary["run_ids"] = run_ids
+        summary["micro_batches"] = len(run_ids)
     if args.near_dup_threshold is not None:
         pairs = job.read_near_dup_pairs(spark)
         summary["near_dup_pairs"] = pairs.count() if pairs is not None else 0

@@ -83,3 +83,46 @@ def test_job_main_emit_clusters(spark, tmp_path, monkeypatch, capsys):
         _run_cli(monkeypatch, capsys,
                  ["--input", docs_dir, "--output", out_dir,
                   "--emit-clusters", cl_dir])
+
+
+def test_job_main_stream_mode(spark, tmp_path, monkeypatch, capsys):
+    """--stream: the CLI ingests the input dir as a Structured Stream —
+    one committed run per micro-batch, availableNow drain, and the
+    checkpoint makes the NEXT invocation pick up only newly-arrived
+    files (the cron/daemon ingest shape)."""
+    import pytest
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    gen_docs_df(spark, 30).write.mode("append").parquet(docs_dir)
+
+    summary = _run_cli(monkeypatch, capsys,
+                       ["--input", docs_dir, "--output", out_dir, "--stream"])
+    assert summary["total_results"] == 30
+    assert summary["docs_in"] == 30
+    assert summary["micro_batches"] >= 1
+    assert all(r.startswith("stream-") for r in summary["run_ids"])
+
+    # a second wave of files arrives; re-invoking ingests ONLY them
+    # (source offsets live in the checkpoint) and epoch-numbered run ids
+    # continue rather than collide
+    gen_docs_df(spark, 45).write.mode("append").parquet(docs_dir)
+    again = _run_cli(monkeypatch, capsys,
+                     ["--input", docs_dir, "--output", out_dir, "--stream"])
+    assert again["total_results"] == 45  # 30 + the 15 genuinely new docs
+    assert not set(again["run_ids"]) & set(summary["run_ids"])
+
+    # nothing new: zero micro-batches, summary still well-formed
+    idle = _run_cli(monkeypatch, capsys,
+                    ["--input", docs_dir, "--output", out_dir, "--stream"])
+    assert idle["total_results"] == 45
+    assert idle["micro_batches"] == 0 and idle["docs_in"] == 0
+
+    with pytest.raises(SystemExit):  # batch-only flags rejected upfront
+        _run_cli(monkeypatch, capsys,
+                 ["--input", docs_dir, "--output", out_dir, "--stream",
+                  "--run-id", "rid"])
+    with pytest.raises(SystemExit):
+        _run_cli(monkeypatch, capsys,
+                 ["--input", docs_dir, "--output", out_dir,
+                  "--stream-checkpoint", str(tmp_path / "ck")])

@@ -35,17 +35,22 @@ def start_incremental_extraction(
     input_dir: str,
     job,  # xs_vlm_ocr_spark.job.ExtractionJob
     checkpoint_dir: str,
+    run_kwargs: dict | None = None,
 ):
     """writeStream.foreachBatch -> ExtractionJob.run per micro-batch.
 
     The job's anti-join against the committed snapshot makes redelivered
     batches no-ops; the streaming checkpoint gives source-offset
-    tracking. Returns the StreamingQuery.
+    tracking (epoch ids continue across restarts, so ``stream-{epoch}``
+    run ids never collide). ``run_kwargs`` forwards job.run options
+    (target_partitions, compact_after) to every micro-batch run.
+    Returns the StreamingQuery.
     """
     docs = stream_docs(spark, input_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        job.run(spark, batch_df, run_id=f"stream-{epoch_id}")
+        job.run(spark, batch_df, run_id=f"stream-{epoch_id}",
+                **(run_kwargs or {}))
 
     return (
         docs.writeStream.foreachBatch(sink)
