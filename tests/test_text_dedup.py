@@ -182,6 +182,22 @@ def test_ngram_prefix_filter_matches_bruteforce(corpus_df, spark):
         assert got == want
 
 
+def test_ngram_l_prefix_invariant(corpus_df):
+    """The l-extended prefix count filter is an exact optimization:
+    results are IDENTICAL for every min_prefix_matches value (l=1 is
+    the classic PPJoin prefix filter; the r8 default is 4)."""
+    for t in (0.3, 0.7):
+        base = sorted(tuple(r) for r in
+                      ngram_jaccard_pairs(corpus_df, threshold=t,
+                                          min_prefix_matches=1).collect())
+        assert base, f"no pairs at threshold {t} — fixture degenerate"
+        for ell in (2, 4, 8):
+            got = sorted(tuple(r) for r in
+                         ngram_jaccard_pairs(corpus_df, threshold=t,
+                                             min_prefix_matches=ell).collect())
+            assert got == base, f"l={ell} changed results at t={t}"
+
+
 def test_portable_minhash_finds_planted(corpus_df):
     """md5-hash-family variant (the oracle-checked contract query) finds
     the same planted dups as the vectorized default."""

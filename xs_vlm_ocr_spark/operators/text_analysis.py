@@ -152,12 +152,16 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     # DIFFERS from the dedup shinglers (with_word_shingles /
     # with_word_gram_strings keep the partial gram so two identical
     # short docs still pair up).
+    # The split is STAGED under its own alias first: higher-order
+    # functions are interpreted (no common-subexpression elimination),
+    # so an inlined `slice(split(text), i+1, n)` lambda re-tokenizes the
+    # whole text once per gram — O(tokens²) per doc.
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("_toks") >= n,
         F.filter(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
             ),
             lambda g: g != "",
         ),
@@ -167,8 +171,10 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     # refuses), so the gram array materializes once per row
     extra = extra or {}
     with_grams = fan_out_small_input(df).select(
-        F.col(id_col).alias("doc_id"), grams.alias("_grams"),
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"),
         *[c.alias(name) for name, c in extra.items()],
+    ).select(
+        "doc_id", grams.alias("_grams"), *extra.keys(),
     )
     acc0 = F.struct(
         F.lit("").alias("cur"), F.lit(0).cast("long").alias("cur_n"),

@@ -33,6 +33,57 @@ from xs_vlm_ocr_spark.extract.pipeline import WS_CHARS
 
 # ------------------------------------------------------------ shingling
 
+def _gram_array(text_col: str, n: int):
+    """(staged_toks_alias, gram_array_expr_over_it): the shared word
+    n-gram construction. The token split MUST be staged under an alias
+    in its own projection before the transform consumes it: higher-order
+    functions are interpreted (no codegen, no common-subexpression
+    elimination), so an inlined ``slice(split(text), i+1, n)`` lambda
+    re-tokenizes the WHOLE text once per gram — O(tokens²) per doc
+    (measured in the r8 before-plans: the split subtree appeared inside
+    the per-gram lambda). With the alias, CollapseProject keeps the
+    boundary (non-cheap expression, consumed more than once) and the
+    split runs once per row."""
+    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+    )
+    return toks, grams
+
+
+def with_distinct_gram_arrays(df: DataFrame, text_col: str = "text",
+                              n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, _g: array<string>) — each doc's DISTINCT non-empty word
+    n-grams as a per-row array (no explode, no shuffle): the zero-shuffle
+    base for per-doc gram computations (the PPJoin shingle arrays). Gram
+    semantics identical to ``with_word_gram_strings`` (same tokenizer,
+    same truncated partial gram for sub-n-token docs, same ``g != ''``
+    drop).
+
+    CONSUMER CAVEAT: do NOT ``explode("_g")`` this column directly in an
+    unguarded plan — InferFiltersFromGenerate infers ``size(_g) > 0``
+    from an explode over a plain attribute, and predicate pushdown then
+    re-inlines the whole gram pipeline into a pre-Filter that evaluates
+    it a SECOND time per row (measured 15x on sf1.0). Explode the gram
+    EXPRESSION instead (``with_word_gram_strings`` — the rule skips
+    non-cheap generator children), or put a persist()/cache barrier
+    between this frame and the explode (the PPJoin path does)."""
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    df = fan_out_small_input(df)
+    toks, grams = _gram_array(text_col, n)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.filter(F.array_distinct(grams), lambda g: g != "").alias("_g"),
+        )
+    )
+
+
 def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                        id_col: str = "doc_id") -> DataFrame:
     """Explode docs into word n-gram shingle hashes: (doc_id, shingle).
@@ -40,30 +91,23 @@ def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     Tokens are lowercase whitespace words; the shingle key is
     xxhash64(n-gram string) — an 8-byte join key instead of the string.
     """
-    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
-    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
-
-    df = fan_out_small_input(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
     # no trailing .distinct(): array_distinct already dedups grams per
     # doc, so (doc_id, shingle) is unique — a row-level distinct here
     # would add a full shuffle to every consumer for nothing
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("_g"))
-        .filter(F.col("_g") != "")
-        .select("doc_id", F.xxhash64("_g").alias("shingle"))
+        with_word_gram_strings(df, text_col, n, id_col)
+        .select("doc_id", F.xxhash64("g").alias("shingle"))
     )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
+                        threshold: float = 0.8, id_col: str = "doc_id",
+                        min_prefix_matches: int = 4) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold — EXACT, via
-    prefix filtering (the AllPairs / PPJoin family: Bayardo et al. WWW'07,
-    Xiao et al. WWW'08 — public algorithms).
+    l-extended prefix filtering (the AllPairs / PPJoin family: Bayardo
+    et al. WWW'07, Xiao et al. WWW'08; the l-prefix count extension is
+    the adaptive-prefix scheme of Wang et al. SIGMOD'12, surveyed in
+    Mann et al. VLDB'16 — public algorithms).
 
     Why not a naive shingle self-join: a shingle appearing in d docs
     contributes d^2 join rows, so stopword-like grams make the join
@@ -72,29 +116,58 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
       1. order each doc's shingles rarest-first (global doc-frequency,
          ties by shingle hash — deterministic total order);
-      2. any pair with Jaccard >= t must share a shingle inside both
-         docs' first |x| - ceil(t*|x|) + 1 shingles (if the prefixes were
-         disjoint, the order-minimum of the intersection would lie past
-         one prefix, bounding |A∩B| <= |A| - p_A < t*|A| <= t*|A∪B|);
-      3. join ONLY prefix rows (hot shingles sort last — they almost
-         never appear in a prefix, so the d^2 blowup vanishes);
+      2. l-prefix lemma: rank the shared shingles of a qualifying pair
+         in that global order; the i-th smallest shared shingle has at
+         least overlap-i shared shingles after it, so it sits within the
+         first |x| - overlap + i positions of BOTH docs. With overlap
+         >= alpha(A,B) = ceil(t/(1+t)*(|A|+|B|)) >= ceil(t*|x|), the
+         first l = min(min_prefix_matches, alpha) shared shingles ALL
+         lie inside each doc's first |x| - ceil(t*|x|) + l shingles — a
+         qualifying pair therefore shares >= l shingles there, and a
+         per-pair COUNT >= l filter is exact (l=1 is the classic prefix
+         filter);
+      3. join ONLY those prefix rows; per joined row additionally
+         require rk_x <= |x| - alpha + l with the PAIR's alpha (the
+         positional filter generalized to rank l — for i <= l the i-th
+         smallest shared shingle satisfies it on both sides);
       4. size filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t;
-      5. verify candidates EXACTLY with array_intersect on per-doc
+      5. count shared prefix shingles per (a, b) and keep pairs with
+         count >= l — this is the step that makes dense-vocabulary
+         corpora tractable: prefix filtering alone is weak when no
+         shingle is rare (measured at sf1.0 — short docs, ~28k distinct
+         grams, avg df 94: 18.6M candidate pairs pass the l=1 filters
+         for 2.5k true pairs, and EVERY verify topology on 18.6M pairs
+         costs 10s+; at l=4 the count filter leaves ~10^4 candidates);
+      6. verify survivors EXACTLY with array_intersect on per-doc
          shingle arrays (df=1 shingles dropped from the arrays — they
          cannot appear in any intersection; |x| keeps the full count).
 
     All JVM-side; every shuffle is a linear equi-join or groupBy.
+    ``min_prefix_matches`` trades prefix length (+l-1 rows per doc) for
+    candidate-count shrinkage (roughly geometric in l on random
+    overlap); results are IDENTICAL for any value >= 1 (pinned by
+    tests/test_text_dedup.py), l=1 reproducing the classic plan.
     """
-    # persist: the explode feeds both the frequency agg and the join side
-    sh = with_word_shingles(df, text_col, n, id_col).persist()
+    ell = max(int(min_prefix_matches), 1)
+    # per-doc distinct gram-hash arrays (zero shuffle) persisted once:
+    # the explode feeds both the frequency agg and the per-doc rebuild
+    garr = (
+        with_distinct_gram_arrays(df, text_col, n, id_col)
+        .select("doc_id", F.transform("_g", lambda g: F.xxhash64(g)).alias("_g"))
+        .persist()
+    )
+    sh = garr.select("doc_id", F.explode("_g").alias("shingle"))
     # doc frequency via groupBy+join (NOT a window over shingle: groupBy
     # does map-side partial aggregation, so a stopword shingle with 10^6
-    # docs never lands in a single window partition)
+    # docs never lands in a single window partition). The join back is
+    # left to AQE: a small distinct-gram side converts to broadcast at
+    # runtime, a corpus-scale one stays a shuffled equi-join.
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     # one doc_id shuffle builds sorted order, size, prefix, and the
     # verify array together (array_sort on (_df, shingle) structs ==
     # rarest-first deterministic total order)
     t = F.lit(threshold)
+    plen = (F.size("_ss") - F.ceil(t * F.size("_ss")) + ell).cast("int")
     docs_arr = (
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
@@ -109,20 +182,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
             F.expr("transform(filter(_ss, s -> s._df >= 2), s -> s.shingle)").alias("_shs"),
             # prefix entries keep their 1-based position in the FULL
             # sorted set (needed by the positional filter below), then
-            # drop df=1 entries
+            # drop df=1 entries (slice/zip_with cap at the array end;
+            # the zip's null-padded tail fails the _df test)
             F.filter(
                 F.zip_with(
-                    F.slice(
-                        F.col("_ss"), 1,
-                        (F.size("_ss") - F.ceil(t * F.size("_ss")) + 1).cast("int"),
-                    ),
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(
-                            (F.size("_ss") - F.ceil(t * F.size("_ss")) + 1).cast("int"),
-                            F.lit(1),
-                        ),
-                    ),
+                    F.slice(F.col("_ss"), 1, plen),
+                    F.sequence(F.lit(1), F.greatest(plen, F.lit(1))),
                     lambda s, i: F.struct(
                         s["_df"].alias("_df"), s["shingle"].alias("shingle"),
                         i.alias("rk"),
@@ -131,7 +196,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                 lambda s: s["_df"] >= 2,
             ).alias("_pref"),
         )
-        .persist()
+        .persist()  # consumed by the prefix explode AND both verify joins
     )
     pref = docs_arr.select(
         "doc_id", "n_sh", F.explode("_pref").alias("_p")
@@ -141,18 +206,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                     F.col("rk").alias("rka"), "shingle")
     b = pref.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"),
                     F.col("rk").alias("rkb"), "shingle")
-    # positional filter (PPJoin): at a shared shingle at positions
-    # (rka, rkb), overlap <= 1 + min(na - rka, nb - rkb); a qualifying
-    # pair needs overlap >= ceil(t/(1+t) * (na+nb)) and always survives
-    # at its order-minimal shared prefix shingle. The 1e-9 slack keeps
-    # ceil strictly conservative when the float quotient lands a hair
-    # ABOVE the exact rational (e.g. t=1/34, na+nb=105: float ceil gives
-    # 4 vs exact 3) — overlap is an integer, so shaving 1e-9 can only
-    # re-admit boundary candidates for the exact verify, never lose one
+    # pair-exact alpha; the 1e-9 slack keeps ceil strictly conservative
+    # when the float quotient lands a hair ABOVE the exact rational
+    # (e.g. t=1/34, na+nb=105: float ceil gives 4 vs exact 3) — the
+    # count/verify are exact, so shaving 1e-9 can only re-admit boundary
+    # candidates, never lose one
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
     )
-    ubound = F.lit(1) + F.least(F.col("na") - F.col("rka"), F.col("nb") - F.col("rkb"))
+    # l capped by alpha (tiny docs can owe fewer than l shared shingles)
+    lcap = F.least(F.lit(ell).cast("long"), alpha)
     cand = (
         a.join(b, "shingle")
         .filter(
@@ -160,10 +223,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
             # size filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("na") >= t * F.col("nb"))
             & (F.col("nb") >= t * F.col("na"))
-            & (ubound >= alpha)
+            # rank-l positional filter (subsumes the classic
+            # 1 + min(na-rka, nb-rkb) >= alpha bound at l=1)
+            & (F.col("rka") <= F.col("na") - alpha + lcap)
+            & (F.col("rkb") <= F.col("nb") - alpha + lcap)
         )
+        # the l-prefix count filter: a qualifying pair has >= l shared
+        # shingles passing ALL the row filters above (map-side partial
+        # count, narrow (a, b) rows — no arrays anywhere near this agg)
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= lcap)
         .select("a", "b", "na", "nb")
-        .distinct()
     )
     return (
         cand.join(docs_arr.select(F.col("doc_id").alias("a"), F.col("_shs").alias("_sa")), "a")
@@ -185,18 +256,20 @@ def with_word_gram_strings(df: DataFrame, text_col: str = "text", n: int = 3,
     short doc verbatim inside the test set) still share a key. The
     repetition QUALITY signal (text_analysis.repetition_signals)
     deliberately differs: there a partial gram would mark every short
-    doc maximally repetitious, so short docs yield no gram."""
+    doc maximally repetitious, so short docs yield no gram.
+
+    The token split is STAGED in its own projection (one split per row)
+    but the explode's child stays the gram EXPRESSION — exploding a
+    pre-aliased gram attribute makes InferFiltersFromGenerate +
+    predicate pushdown duplicate the whole gram pipeline into an
+    interpreted pre-Filter (see with_distinct_gram_arrays)."""
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
-    from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
 
     df = fan_out_small_input(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    toks, grams = _gram_array(text_col, n)
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("g"))
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
         .filter(F.col("g") != "")
     )
 
@@ -241,26 +314,35 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
     so long-running ingestion sessions don't accumulate corpus-scale
     signature caches.
     """
+    # sig[i] = min over the doc's distinct grams of h_i(g), computed as
+    # num_perm parallel min() aggregates over ONE gram explode: each
+    # (doc, gram) row projects all num_perm hashes as codegen'd columns
+    # and a single groupBy(doc_id) takes the mins — one shuffle of
+    # 50k-doc partial rows. The r7 shape instead exploded every gram
+    # num_perm times (42M rows at sf1.0) through a groupBy(doc, i)
+    # partial_min plus a collect_list regroup (two corpus aggregations);
+    # an array_min-over-lambda variant was measured 8x SLOWER than
+    # either (higher-order functions are interpreted — 42M md5s fell
+    # out of whole-stage codegen). Hash family unchanged (same md5
+    # preimages — the DuckDB oracle and append==rebuild bit-equality
+    # both pin it).
+    def h_i(i: int):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("g"))), 1, 15),
+            16, 10,
+        ).cast("long")
+
     grams = with_word_gram_strings(df, text_col, n, id_col)
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("g"))), 1, 15), 16, 10
-    ).cast("long")
-    mins = (
-        grams.select(
-            "doc_id", "g",
-            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("i"),
-        )
-        .select("doc_id", "i", h.alias("h"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("m"))
-    )
     sig = (
-        mins.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
-        .select("doc_id", F.expr("transform(_sm, s -> s.m)").alias("sig"))
+        grams.groupBy("doc_id")
+        .agg(*[F.min(h_i(i)).alias(f"_m{i}") for i in range(num_perm)])
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+        )
     )
     if persist:
-        # avoids recomputing the signature agg once per join side when
+        # avoids recomputing the md5 battery once per join side when
         # the caller consumes the index more than once
         sig = sig.persist()
     rows = num_perm // bands
@@ -964,17 +1046,21 @@ def contamination_spans(train: DataFrame, test: DataFrame, n: int = 13,
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
     from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
 
+    # token split staged under an alias: an inlined split re-tokenizes
+    # the whole text once per gram inside the interpreted transform
+    # lambda (see _gram_array)
     toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     gp = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
         lambda i: F.struct(
             i.cast("long").alias("pos"),
-            F.array_join(F.slice(toks, i + 1, n), " ").alias("g"),
+            F.array_join(F.slice("_toks", i + 1, n), " ").alias("g"),
         ),
     )
     tr = (
         fan_out_small_input(train)
-        .select(F.col(id_col).alias("doc_id"), F.explode(gp).alias("x"))
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.explode(gp).alias("x"))
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
         .filter(F.col("g") != "")
     )
