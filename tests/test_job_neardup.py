@@ -336,6 +336,27 @@ def test_sync_clusters_zero_row_snapshot_keeps_meta(spark, tmp_path_factory):
     assert job.sync_clusters(spark) is None  # in step despite zero rows
 
 
+def test_sync_clusters_heals_lost_meta_without_rewrite(spark, tmp_path_factory):
+    """Meta-lost committed snapshot (wiped meta / legacy zero-row): the
+    redo mints the SAME deterministic id as the committed snapshot;
+    sync must heal the bookkeeping via set_meta instead of calling
+    replace() on a committed id (which raises — r7 advice, medium:
+    every sync_clusters and every consumer raised until the dir was
+    hand-deleted)."""
+    out = str(tmp_path_factory.mktemp("job_nd_heal_meta"))
+    job = ExtractionJob(out, near_dup_threshold=0.5)
+    job.run(spark, _docs(spark, [("a", NEAR_A), ("b", NEAR_B)]))
+    assert job.sync_clusters(spark) is not None
+    runs_now = job.neardup_clusters_tbl.get_meta()["src_runs"]
+
+    job.neardup_clusters_tbl.set_meta({})  # simulate lost bookkeeping
+    # heals in place: no raise, no rewrite, meta restored, in step after
+    assert job.sync_clusters(spark) is None
+    assert job.neardup_clusters_tbl.get_meta()["src_runs"] == runs_now
+    assert job.sync_clusters(spark) is None
+    assert job.near_dup_clusters(spark) is not None  # consumers work again
+
+
 def test_lost_increment_fails_loud(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("job_nd_lost"))
     job = ExtractionJob(out, near_dup_threshold=0.5)

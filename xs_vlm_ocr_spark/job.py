@@ -35,6 +35,35 @@ from xs_vlm_ocr_spark.schemas import LINEAGE_SCHEMA
 from xs_vlm_ocr_spark.table_io import REWRITE_PREFIXES, CheckpointedTable
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _observation_safe_aqe(spark: SparkSession):
+    """Exclude AQEPropagateEmptyRelation for ONE Observation-driving
+    write: when AQE replans a runtime-empty subtree as a LocalRelation
+    it drops the CollectMetrics node and the Observation completes with
+    a schema-less row — the observed counts are silently lost
+    (reproduced on Spark 4.1.2). Keeping the node costs nothing: by the
+    time AQE learns a stage is empty the observed stage already ran.
+    Session-global conf toggle — NOT re-entrant on a shared session
+    (see ExtractionJob.run's concurrency note)."""
+    _rule_key = "spark.sql.adaptive.optimizer.excludedRules"
+    _aqe_rule = ("org.apache.spark.sql.execution.adaptive."
+                 "AQEPropagateEmptyRelation")
+    _old_rules = spark.conf.get(_rule_key, None)
+    spark.conf.set(
+        _rule_key, f"{_old_rules},{_aqe_rule}" if _old_rules else _aqe_rule
+    )
+    try:
+        yield
+    finally:
+        if _old_rules is None:
+            spark.conf.unset(_rule_key)
+        else:
+            spark.conf.set(_rule_key, _old_rules)
+
+
 def stamp_results(results: DataFrame, run_id: str, committed_at: datetime,
                   source: str) -> DataFrame:
     """History-row stamps at append time (reference HistoryManager.cpp:
@@ -325,20 +354,8 @@ class ExtractionJob:
         # stage has already run, and downstream stages see zero rows
         # either way.
         staging = os.path.join(self.out_dir, "staging", run_id)
-        _rule_key = "spark.sql.adaptive.optimizer.excludedRules"
-        _aqe_rule = ("org.apache.spark.sql.execution.adaptive."
-                     "AQEPropagateEmptyRelation")
-        _old_rules = spark.conf.get(_rule_key, None)
-        spark.conf.set(
-            _rule_key, f"{_old_rules},{_aqe_rule}" if _old_rules else _aqe_rule
-        )
-        try:
+        with _observation_safe_aqe(spark):
             combined.write.mode("overwrite").parquet(staging)
-        finally:
-            if _old_rules is None:
-                spark.conf.unset(_rule_key)
-            else:
-                spark.conf.set(_rule_key, _old_rules)
         if fail_after_staging:
             return run_id  # crash point: nothing committed, table unchanged
 
@@ -651,12 +668,33 @@ class ExtractionJob:
             ).withColumn("run_id", F.lit(boot))
             self.contamination.append(spans, boot, also_mark=pending)
             return [boot]
-        for r in pending:
-            spans = contamination_spans(
-                self._run_corpus(spark, r), heldout,
-                n=self.contamination_n, text_col="full_text",
-            ).withColumn("run_id", F.lit(r))
-            self.contamination.append(spans, r)
+        # a crashed multi-run suffix scans several increments against
+        # the SAME held-out set: derive (and persist) the distinct gram
+        # frame once instead of re-reading + re-distincting the held-out
+        # corpus per pending run (r7 verdict nit; single-run syncs — the
+        # normal case — keep the zero-overhead inline derivation)
+        te = None
+        if len(pending) > 1:
+            from xs_vlm_ocr_spark.operators.text_dedup import (
+                with_word_gram_strings,
+            )
+
+            te = (
+                with_word_gram_strings(
+                    heldout, text_col="full_text", n=self.contamination_n
+                ).select("g").distinct().persist()
+            )
+        try:
+            for r in pending:
+                spans = contamination_spans(
+                    self._run_corpus(spark, r), heldout,
+                    n=self.contamination_n, text_col="full_text",
+                    test_grams=te,
+                ).withColumn("run_id", F.lit(r))
+                self.contamination.append(spans, r)
+        finally:
+            if te is not None:
+                te.unpersist()
         return pending
 
     def read_contamination(self, spark: SparkSession) -> DataFrame | None:
@@ -809,6 +847,15 @@ class ExtractionJob:
         run_id = "clusters-" + hashlib.md5(
             ",".join(cur).encode()
         ).hexdigest()[:12]
+        if run_id in self.neardup_clusters_tbl.all_time_runs():
+            # same deterministic id == same cur == same content: the
+            # snapshot is already committed, only the bookkeeping was
+            # lost (legacy pre-meta snapshot, or meta wiped). replace()
+            # would refuse the committed id — heal the meta instead of
+            # rewriting (r7 advice, medium: without this every
+            # sync_clusters raised until the dir was hand-deleted).
+            self.neardup_clusters_tbl.set_meta({"src_runs": cur})
+            return None
         self.neardup_clusters_tbl.replace(
             assignment, run_id, meta={"src_runs": cur}
         )
@@ -1012,10 +1059,38 @@ class ExtractionJob:
         # corpus commits a zero-row results run, and the decision over
         # identical content must mint the identical snapshot (caught by
         # tools/rehearse_clean_corpus.py, which asserts the rerun is
-        # bit-idempotent end to end)
+        # bit-idempotent end to end). The id also folds in the DECISION
+        # TABLES' provenance — the params that shape them plus each
+        # derived table's content runs and the held-out corpus identity
+        # — so the documented rebuild flow (delete contamination/signals
+        # and re-run with a changed n, or update the held-out set) mints
+        # a NEW id instead of silently serving the stale committed
+        # snapshot as current (r7 advice, medium).
+        def _heldout_identity():
+            if self.heldout_dir is None:
+                return None
+            try:
+                names = sorted(
+                    (f, os.path.getsize(os.path.join(self.heldout_dir, f)))
+                    for f in os.listdir(self.heldout_dir)
+                    if not f.startswith(("_", "."))
+                )
+            except OSError:
+                names = []
+            return (self.heldout_dir, names)
+
         params = (sorted(self.results.content_runs()), drop_contaminated,
                   min_quality, max_dup_gram_frac, max_top_gram_frac,
-                  self.near_dup_threshold, self.heldout_dir is not None)
+                  self.near_dup_threshold, self.heldout_dir is not None,
+                  # decision-table provenance (r7 advice)
+                  tuple(self.minhash_params),
+                  sorted(self.contamination.content_runs())
+                  if self.heldout_dir is not None else None,
+                  self.contamination_n if self.heldout_dir is not None else None,
+                  _heldout_identity(),
+                  sorted(self.signals.content_runs())
+                  if self.compute_signals else None,
+                  self.repetition_n if self.compute_signals else None)
         snap = "dedup-" + hashlib.md5(repr(params).encode()).hexdigest()[:12]
         out = CheckpointedTable(dest)
 
@@ -1071,7 +1146,12 @@ class ExtractionJob:
                 .select("doc_id", "text",
                         F.col("_trimmed").alias("was_trimmed"))
             )
-            out.replace(kept, snap)  # atomic flip; the write drives obs
+            # same guard run() applies: a runtime-empty decided frame
+            # (e.g. every committed row failing the success filter
+            # behind an exchange) must not lose the drop counts to
+            # AQEPropagateEmptyRelation dropping the CollectMetrics node
+            with _observation_safe_aqe(spark):
+                out.replace(kept, snap)  # atomic flip; the write drives obs
             counts = counts_of(obs.get)
             out.set_meta(counts)  # self-describing snapshot
         if snap not in self.lineage.all_time_runs():

@@ -177,7 +177,12 @@ def _bypass_udf(bypass_fn, timeout_ms: int | None):
         for c, o, h, b in zip(codes, offs, heavy, blanks):
             t0 = time.monotonic_ns()
             try:
-                o_texts, o_src = bypass_fn(c, o, h, b)
+                # Arrow hands each list-typed cell over as a numpy array;
+                # per-element access on those boxes every int/str, which
+                # taxes the pure-Python extractor loop ~15% (measured).
+                # One bulk tolist() per doc converts to plain lists.
+                o_texts, o_src = bypass_fn(
+                    c.tolist(), o.tolist(), h.tolist(), b.tolist())
                 elapsed = (time.monotonic_ns() - t0) // 1_000_000
                 if timeout_ms is not None and elapsed > timeout_ms:
                     c_t.append([]); c_s.append([])  # noqa: E702

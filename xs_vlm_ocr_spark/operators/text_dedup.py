@@ -65,7 +65,7 @@ def with_distinct_gram_arrays(df: DataFrame, text_col: str = "text",
 
     CONSUMER CAVEAT: do NOT ``explode("_g")`` this column directly in an
     unguarded plan — InferFiltersFromGenerate infers ``size(_g) > 0``
-    from an explode over a plain attribute, and predicate pushdown then
+    when the explode child is a plain attribute, and predicate pushdown
     re-inlines the whole gram pipeline into a pre-Filter that evaluates
     it a SECOND time per row (measured 15x on sf1.0). Explode the gram
     EXPRESSION instead (``with_word_gram_strings`` — the rule skips
@@ -1025,7 +1025,8 @@ def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 3,
 
 def contamination_spans(train: DataFrame, test: DataFrame, n: int = 13,
                         text_col: str = "text", id_col: str = "doc_id",
-                        broadcast_test: bool = True) -> DataFrame:
+                        broadcast_test: bool = True,
+                        test_grams: DataFrame | None = None) -> DataFrame:
     """WHERE the contamination is: merged token spans of every train-doc
     region sharing a word n-gram with the held-out set — the
     span-surgery variant of :func:`ngram_contamination` (GPT-3's
@@ -1042,6 +1043,13 @@ def contamination_spans(train: DataFrame, test: DataFrame, n: int = 13,
     shuffle); hit positions — a tiny fraction of the corpus — take ONE
     groupBy(doc) shuffle; the interval merge is a per-doc fold over the
     sorted hit array, never a window over the corpus.
+
+    ``test_grams``: a precomputed single-column ``g`` frame of the
+    held-out set's DISTINCT n-grams (``test`` is then ignored) — a
+    caller scanning several train increments against one held-out set
+    derives (and persists) the gram frame once instead of re-reading
+    and re-distincting the held-out corpus per increment
+    (job.sync_contamination's crashed-suffix heal loop).
     """
     from xs_vlm_ocr_spark.operators.skew import fan_out_small_input
     from xs_vlm_ocr_spark.operators.text_analysis import WS_RE
@@ -1064,7 +1072,7 @@ def contamination_spans(train: DataFrame, test: DataFrame, n: int = 13,
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
         .filter(F.col("g") != "")
     )
-    te = (
+    te = test_grams if test_grams is not None else (
         with_word_gram_strings(test, text_col=text_col, n=n, id_col=id_col)
         .select("g").distinct()
     )
