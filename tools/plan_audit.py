@@ -79,6 +79,15 @@ BNLJ_OK: dict[str, str] = {
 # Generic invariants applied to EVERY registered query.
 GENERIC: list[tuple[str, object]] = [
     ("no cartesian product", _absent("CartesianProduct")),
+    # r8: InferFiltersFromGenerate + pushdown can duplicate a whole gram
+    # pipeline into an interpreted pre-Filter when an explode's child is
+    # a pre-aliased attribute (measured 15x on the sf1.0 gram explode —
+    # see text_dedup.with_distinct_gram_arrays). The signature of the
+    # regression is a size(...) guard wrapping the tokenize/gram tree
+    # inside a Filter condition.
+    ("no duplicated gram pipeline in an inferred generate filter",
+     lambda p: "size(filter(array_distinct(transform" not in p
+     and "size(array_distinct(transform" not in p),
     ("no row-at-a-time python eval", _absent("BatchEvalPython")),
 ]
 

@@ -202,6 +202,10 @@ def strip_html(html: str) -> list[str]:
     if not html:
         return []
     ex = _Extractor()
+    # bound-method locals: the loop runs once per token and the
+    # attribute lookups are measurable at corpus scale
+    handle_data, handle_starttag, handle_endtag = (
+        ex.handle_data, ex.handle_starttag, ex.handle_endtag)
     has_amp = "&" in html
     raw_text_until: str | None = None  # inside <script>/<style>: raw text mode
     for m in _token_re().finditer(html):
@@ -213,7 +217,7 @@ def strip_html(html: str) -> list[str]:
                 continue  # raw content of a drop tag: ignore entirely
             if has_amp and "&" in text:
                 text = unescape(text)
-            ex.handle_data(text)
+            handle_data(text)
             continue
         if name is None:
             continue  # comment / doctype
@@ -222,20 +226,18 @@ def strip_html(html: str) -> list[str]:
             # only the matching close tag leaves raw-text mode
             if closing and name == raw_text_until:
                 raw_text_until = None
-                ex.handle_endtag(name)
+                handle_endtag(name)
             continue
         if closing:
-            ex.handle_endtag(name)
+            handle_endtag(name)
         else:
             # most tags carry no attrs: skip the rstrip alloc for ""
             self_closing = bool(attrs) and attrs.rstrip().endswith("/")
-            ex.handle_starttag(name, ())
+            handle_starttag(name, ())
             if name in ("script", "style") and not self_closing:
                 raw_text_until = name
-            elif self_closing and name in DROP_TAGS:
-                ex.handle_endtag(name)
-            elif self_closing and name in BLOCK_TAGS:
-                ex.handle_endtag(name)
-            elif self_closing and name == "a":
-                ex.handle_endtag(name)
+            elif self_closing and (
+                name in DROP_TAGS or name in BLOCK_TAGS or name == "a"
+            ):
+                handle_endtag(name)
     return ex.finish()
