@@ -26,7 +26,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xs_vlm_ocr_spark.extract.pipeline import WS_CHARS
@@ -138,9 +138,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
          grams, avg df 94: 18.6M candidate pairs pass the l=1 filters
          for 2.5k true pairs, and EVERY verify topology on 18.6M pairs
          costs 10s+; at l=4 the count filter leaves ~10^4 candidates);
-      6. verify survivors EXACTLY with array_intersect on per-doc
-         shingle arrays (df=1 shingles dropped from the arrays — they
-         cannot appear in any intersection; |x| keeps the full count).
+      6. verify survivors EXACTLY with array_intersect on the per-doc
+         shingle arrays (the FULL arrays: a df=1 shingle lives in one
+         doc only, so it can never appear in an intersection and
+         pruning it is unnecessary; |x| is the full set size).
 
     All JVM-side; every shuffle is a linear equi-join or groupBy.
     ``min_prefix_matches`` trades prefix length (+l-1 rows per doc) for
@@ -150,7 +151,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     """
     ell = max(int(min_prefix_matches), 1)
     # per-doc distinct gram-hash arrays (zero shuffle) persisted once:
-    # the explode feeds both the frequency agg and the per-doc rebuild
+    # the explode feeds the frequency agg + rank window, and the arrays
+    # feed the exact verify joins directly
     garr = (
         with_distinct_gram_arrays(df, text_col, n, id_col)
         .select("doc_id", F.transform("_g", lambda g: F.xxhash64(g)).alias("_g"))
@@ -163,45 +165,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     # left to AQE: a small distinct-gram side converts to broadcast at
     # runtime, a corpus-scale one stays a shuffled equi-join.
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # one doc_id shuffle builds sorted order, size, prefix, and the
-    # verify array together (array_sort on (_df, shingle) structs ==
-    # rarest-first deterministic total order)
+    # one doc_id shuffle builds rank-in-sorted-order, set size, and the
+    # prefix rows DIRECTLY via a codegen'd window (row_number over
+    # (_df, shingle) == rarest-first deterministic total order; the
+    # full-frame count rides the SAME window sort). This replaces the
+    # r7 array round-trip — ObjectHashAggregate collect_list ->
+    # interpreted array_sort -> a 5-HOF _pref battery -> re-explode —
+    # with row-level codegen'd machinery (measured ~35% off the stage,
+    # r8 §1b); the per-doc partition sizes are identical to the groupBy
+    # it replaces, so the 100 TB distribution argument is unchanged.
     t = F.lit(threshold)
-    plen = (F.size("_ss") - F.ceil(t * F.size("_ss")) + ell).cast("int")
-    docs_arr = (
+    wdoc = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    n_sh_c = F.count(F.lit(1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ).cast("int")
+    pref = (
         sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle"))).alias("_ss"))
         .select(
-            "doc_id",
-            F.size("_ss").alias("n_sh"),
-            # df=1 shingles can never match across docs: drop them from
-            # both the prefix and the verify arrays (exactness unaffected
-            # — a shared shingle has df >= 2 by definition; n_sh keeps
-            # the full set size for the Jaccard denominator)
-            F.expr("transform(filter(_ss, s -> s._df >= 2), s -> s.shingle)").alias("_shs"),
-            # prefix entries keep their 1-based position in the FULL
-            # sorted set (needed by the positional filter below), then
-            # drop df=1 entries (slice/zip_with cap at the array end;
-            # the zip's null-padded tail fails the _df test)
-            F.filter(
-                F.zip_with(
-                    F.slice(F.col("_ss"), 1, plen),
-                    F.sequence(F.lit(1), F.greatest(plen, F.lit(1))),
-                    lambda s, i: F.struct(
-                        s["_df"].alias("_df"), s["shingle"].alias("shingle"),
-                        i.alias("rk"),
-                    ),
-                ),
-                lambda s: s["_df"] >= 2,
-            ).alias("_pref"),
+            "doc_id", "shingle", "_df",
+            F.row_number().over(wdoc).alias("rk"),
+            n_sh_c.alias("n_sh"),
         )
-        .persist()  # consumed by the prefix explode AND both verify joins
+        # prefix rows: rank (in the FULL sorted set — computed before
+        # any row is dropped) within the l-extended prefix length, and
+        # df >= 2 (a df=1 shingle joins only with itself, so dropping it
+        # cannot lose a candidate pair)
+        .filter(
+            (F.col("rk") <= (F.col("n_sh") - F.ceil(t * F.col("n_sh")) + ell).cast("int"))
+            & (F.col("_df") >= 2)
+        )
+        .select("doc_id", "n_sh", "shingle", "rk")
+        .persist()  # consumed by BOTH sides of the candidate self-join
     )
-    pref = docs_arr.select(
-        "doc_id", "n_sh", F.explode("_pref").alias("_p")
-    ).select("doc_id", "n_sh", F.col("_p.shingle").alias("shingle"),
-             F.col("_p.rk").alias("rk"))
     a = pref.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"),
                     F.col("rk").alias("rka"), "shingle")
     b = pref.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"),
@@ -236,9 +231,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
         .filter(F.col("_c") >= lcap)
         .select("a", "b", "na", "nb")
     )
+    # verify against the already-persisted per-doc gram arrays (garr —
+    # no pruned copy needed: a df=1 shingle lives in exactly one doc and
+    # can never appear in an intersection, so intersecting the FULL
+    # arrays yields the same `inter`; only ~|survivors| rows reach here)
     return (
-        cand.join(docs_arr.select(F.col("doc_id").alias("a"), F.col("_shs").alias("_sa")), "a")
-        .join(docs_arr.select(F.col("doc_id").alias("b"), F.col("_shs").alias("_sb")), "b")
+        cand.join(garr.select(F.col("doc_id").alias("a"), F.col("_g").alias("_sa")), "a")
+        .join(garr.select(F.col("doc_id").alias("b"), F.col("_g").alias("_sb")), "b")
         .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
