@@ -171,9 +171,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     # full-frame count rides the SAME window sort). This replaces the
     # r7 array round-trip — ObjectHashAggregate collect_list ->
     # interpreted array_sort -> a 5-HOF _pref battery -> re-explode —
-    # with row-level codegen'd machinery (measured ~35% off the stage,
-    # r8 §1b); the per-doc partition sizes are identical to the groupBy
-    # it replaces, so the 100 TB distribution argument is unchanged.
+    # with row-level codegen'd machinery (~0.8x median full-query in
+    # alternating fresh-process A/B, r8 §1b); the per-doc partition
+    # sizes are identical to the groupBy it replaces, so the 100 TB
+    # distribution argument is unchanged.
     t = F.lit(threshold)
     wdoc = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     n_sh_c = F.count(F.lit(1)).over(
